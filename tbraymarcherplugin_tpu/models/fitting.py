@@ -1,0 +1,124 @@
+"""Differentiable fitting: optimize TF / windowing / volume from target renders.
+
+BASELINE config 4: "optimize TF table + window params from target renders
+(fwd+bwd, grad-check vs finite differences)". The reference has no training
+loop — differentiability is the point of the TPU re-design; this module turns
+the renderer into an inverse-rendering model family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.rays import RayBatch
+from .pipeline import LightPlan, RenderParams, render_lit_scene
+
+
+@dataclasses.dataclass
+class FitConfig:
+    learning_rate: float = 3e-2
+    steps: int = 200
+    optimize_tf: bool = True
+    optimize_window: bool = True
+    optimize_volume: bool = False
+    optimize_lights: bool = False
+    step_count: int = 64  # march steps during fitting
+    tf_smoothness_weight: float = 1e-3
+
+
+def image_loss(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """L2 on RGBA."""
+    return jnp.mean((rendered - target) ** 2)
+
+
+def tf_smoothness(tf_table: jnp.ndarray) -> jnp.ndarray:
+    """Total-variation regularizer keeping fitted TF tables physical."""
+    return jnp.mean(jnp.square(tf_table[1:] - tf_table[:-1]))
+
+
+def make_loss_fn(
+    rays: RayBatch,
+    target: jnp.ndarray,
+    clip_center,
+    clip_direction,
+    light_plans: tuple,
+    light_dims: tuple,
+    config: FitConfig,
+) -> Callable[[RenderParams], jnp.ndarray]:
+    def loss_fn(params: RenderParams):
+        img = render_lit_scene(
+            params, rays, clip_center, clip_direction,
+            light_plans, light_dims, step_count=config.step_count,
+        )
+        loss = image_loss(img, target)
+        if config.tf_smoothness_weight:
+            loss = loss + config.tf_smoothness_weight * tf_smoothness(
+                params.tf_table
+            )
+        return loss
+
+    return loss_fn
+
+
+def _param_mask(config: FitConfig) -> RenderParams:
+    """1/0 mask pytree selecting which leaves train."""
+    return RenderParams(
+        volume=jnp.asarray(1.0 if config.optimize_volume else 0.0),
+        tf_table=jnp.asarray(1.0 if config.optimize_tf else 0.0),
+        window_center=jnp.asarray(1.0 if config.optimize_window else 0.0),
+        window_width=jnp.asarray(1.0 if config.optimize_window else 0.0),
+        light_intensities=jnp.asarray(1.0 if config.optimize_lights else 0.0),
+    )
+
+
+def fit(
+    init_params: RenderParams,
+    rays: RayBatch,
+    target: jnp.ndarray,
+    clip_center,
+    clip_direction,
+    light_plans: tuple,
+    light_dims: tuple,
+    config: Optional[FitConfig] = None,
+    callback=None,
+):
+    """Gradient-descend the render parameters toward a target image.
+
+    Returns (params, losses). A jitted update step; masked leaves stay frozen.
+    """
+    config = config or FitConfig()
+    loss_fn = make_loss_fn(
+        rays, target, clip_center, clip_direction, light_plans, light_dims, config
+    )
+    opt = optax.adam(config.learning_rate)
+    mask = _param_mask(config)
+    opt_state = opt.init(init_params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # Keep the TF physical: colors/alpha in [0, 1].
+        params = dataclasses.replace(
+            params,
+            tf_table=jnp.clip(params.tf_table, 0.0, 1.0),
+            window_width=jnp.maximum(params.window_width, 1e-3),
+        )
+        return params, opt_state, loss
+
+    params = init_params
+    losses = []
+    for step in range(config.steps):
+        params, opt_state, loss = train_step(params, opt_state)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(step, params, float(loss))
+    return params, losses

@@ -1,0 +1,160 @@
+"""Fully-jittable end-to-end render pipeline: lighting + march in one function.
+
+The interactive :class:`~tbraymarcherplugin_tpu.renderer.Renderer` keeps state
+and updates lights incrementally. This module is the *functional* counterpart:
+one pure function from parameters to pixels, with light-propagation geometry
+(face choices and offsets, which depend on concrete light directions) planned
+host-side and baked in as static data. This is what gets differentiated
+(BASELINE config 4), sharded (config 5), and compile-checked by the driver.
+
+Differentiable leaves: volume densities, TF table, window center/width, and
+per-light intensities — exactly the gradient surface BASELINE names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lighting as L
+from ..ops import march as M
+from ..ops.rays import RayBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class LightPlan:
+    """Static propagation geometry for one directional light.
+
+    Built host-side from a concrete local-space light direction (the same
+    split the reference makes: CPU axis math in `LightingShaderUtils.cpp`,
+    GPU propagation in the shader). ``face_plans`` holds up to two
+    :class:`~tbraymarcherplugin_tpu.ops.lighting.FacePropagationPlan`; their
+    ``light_alpha`` fields here store the face *weight* only — the traced
+    intensity multiplies in at run time, keeping d(image)/d(intensity) exact.
+    """
+
+    face_plans: tuple
+
+    @staticmethod
+    def create(local_dir, light_dims) -> "LightPlan":
+        local_dir = np.asarray(local_dir, np.float64)
+        local_dir = local_dir / np.linalg.norm(local_dir)
+        axes = L.local_light_major_axes(local_dir)
+        light_pos = -local_dir
+        plans = tuple(
+            L.plan_face_propagation(face, light_pos, tuple(light_dims), weight)
+            for face, weight in zip(axes.faces, axes.weights)
+            if weight > 0.0
+        )
+        return LightPlan(face_plans=plans)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderParams:
+    """The differentiable parameter pytree."""
+
+    volume: jax.Array  # (X, Y, Z)
+    tf_table: jax.Array  # (R, 4)
+    window_center: jax.Array  # scalar
+    window_width: jax.Array  # scalar
+    light_intensities: jax.Array  # (n_lights,)
+
+
+def _windowing_vec4(params: RenderParams, low_cutoff, high_cutoff):
+    return jnp.stack(
+        [
+            jnp.asarray(params.window_center, jnp.float32),
+            jnp.asarray(params.window_width, jnp.float32),
+            jnp.asarray(1.0 if low_cutoff else 0.0, jnp.float32),
+            jnp.asarray(1.0 if high_cutoff else 0.0, jnp.float32),
+        ]
+    )
+
+
+def compute_illumination(
+    params: RenderParams,
+    light_plans: Sequence[LightPlan],
+    clip_center,
+    clip_direction,
+    light_dims,
+    low_cutoff=True,
+    high_cutoff=True,
+    apply_write_threshold: bool = False,
+):
+    """Build the illumination volume from all planned lights (traced)."""
+    win = _windowing_vec4(params, low_cutoff, high_cutoff)
+    lv = jnp.zeros(tuple(light_dims), jnp.float32)
+    for li, plan in enumerate(light_plans):
+        intensity = params.light_intensities[li]
+        for fp in plan.face_plans:
+            contrib = L._propagate_one_face(
+                params.volume,
+                params.tf_table,
+                win,
+                clip_center,
+                clip_direction,
+                jnp.asarray(fp.uv_offset, jnp.float32),
+                jnp.asarray(fp.uvw_offset, jnp.float32),
+                jnp.asarray(fp.step_size, jnp.float32),
+                intensity * fp.light_alpha,  # light_alpha holds the face weight
+                fp.face,
+                tuple(light_dims),
+                apply_write_threshold,
+            )
+            lv = lv + contrib
+    return lv
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "light_plans",
+        "light_dims",
+        "step_count",
+        "low_cutoff",
+        "high_cutoff",
+        "checkpoint_every",
+        "early_termination",
+    ),
+)
+def render_lit_scene(
+    params: RenderParams,
+    rays: RayBatch,
+    clip_center,
+    clip_direction,
+    light_plans: tuple,
+    light_dims: tuple,
+    step_count: int = 150,
+    low_cutoff: bool = True,
+    high_cutoff: bool = True,
+    checkpoint_every: int = 32,
+    early_termination: float = 0.95,
+) -> jnp.ndarray:
+    """Differentiable lit render: illumination + march, one XLA computation.
+
+    This is the "train step" analogue of the whole reference pipeline
+    (SURVEY §3.2 + §3.3 fused).
+    """
+    win = _windowing_vec4(params, low_cutoff, high_cutoff)
+    lv = compute_illumination(
+        params, light_plans, clip_center, clip_direction, light_dims,
+        low_cutoff, high_cutoff,
+    )
+    return M.march_lit(
+        params.volume,
+        params.tf_table,
+        lv,
+        rays,
+        win,
+        clip_center,
+        clip_direction,
+        step_count=step_count,
+        checkpoint_every=checkpoint_every,
+        early_termination=early_termination,
+    )

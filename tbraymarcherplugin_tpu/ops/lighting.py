@@ -1,0 +1,455 @@
+"""Illumination volume: Sundén–Ropinski-style per-light propagation.
+
+TPU-native re-design of the reference's signature feature — the single-channel
+illumination volume built by slice-by-slice light propagation
+(`Shaders/Private/AddDirLightShader.usf`, `ChangeDirLightShader.usf`, host
+orchestration in `Private/Rendering/LightingShaders.cpp:35-326`, axis math in
+`Private/Rendering/LightingShaderUtils.cpp`).
+
+Where the reference issues one compute dispatch per slice (≈2×256 dispatches
+per light on a 256³ volume, `LightingShaders.cpp:132-158`), here each axis
+propagation is ONE jitted computation: a `lax.scan` along the propagation axis
+whose carry is the 2D transmittance buffer. Two structural wins over a
+translation:
+
+- The per-slice *occluder* sample (`AddDirLightShader.usf:85,112`) uses a
+  constant UVW offset, so the entire occluder-opacity field is precomputed for
+  the whole volume in one vectorized pass before the scan (no gathers inside
+  the scan).
+- The per-slice *read-buffer* resample (`usf:81-82`) is a constant fractional
+  pixel shift with a border value, implemented as a separable two-tap blend —
+  pure vector ops, TPU-friendly, and exactly differentiable.
+
+Everything here is differentiable w.r.t. the volume, TF table, windowing and
+light intensity. The discrete choice of propagation axes (top-2 weighted cube
+faces) is made host-side from concrete light directions, exactly like the
+reference does on the CPU (`LightingShaderUtils.cpp:29-46`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampling import (
+    VOLUME_DENSITY,
+    clip_soft_alpha_weight,
+    sample_windowed_transfer_function,
+    trilinear_sample,
+)
+
+# Write-skip threshold: per-voxel light deltas below this are not written
+# (`AddDirLightShader.usf:123`, `ChangeDirLightShader.usf:152`).
+WRITE_SKIP_THRESHOLD = 1e-3
+
+# Cube faces in reference order (`LightingShaderUtils.h:35-42`).
+FACE_NORMALS = np.array(
+    [
+        [1.0, 0.0, 0.0],  # 0: +X
+        [-1.0, 0.0, 0.0],  # 1: -X
+        [0.0, 1.0, 0.0],  # 2: +Y
+        [0.0, -1.0, 0.0],  # 3: -Y
+        [0.0, 0.0, 1.0],  # 4: +Z
+        [0.0, 0.0, -1.0],  # 5: -Z
+    ]
+)
+
+
+class MajorAxes(NamedTuple):
+    """Top-2 propagation faces with their renormalized weights."""
+
+    faces: tuple[int, int]
+    weights: tuple[float, float]
+
+
+def get_major_axes(light_pos) -> list[tuple[int, float]]:
+    """All 6 faces weighted by squared positive cosine, sorted descending.
+
+    Reference: `FMajorAxes::GetMajorAxes` (`LightingShaderUtils.cpp:29-46`).
+    ``light_pos`` is the direction TO the light (i.e. minus the light's travel
+    direction).
+    """
+    light_pos = np.asarray(light_pos, np.float64)
+    weights = FACE_NORMALS @ light_pos
+    weights = np.where(weights > 0, weights * weights, 0.0)
+    order = np.argsort(-weights, kind="stable")
+    return [(int(f), float(weights[f])) for f in order]
+
+
+def local_light_major_axes(local_light_dir) -> MajorAxes:
+    """Top-2 faces + weights for a local-space light direction.
+
+    Reference: `GetLocalLightParamsAndAxes` (`LightingShaderUtils.cpp:160-188`):
+    axes come from minus the (normalized) light direction; if the dominant
+    weight exceeds 0.99 it snaps to 1.0; the second weight is 1 - first.
+    """
+    d = np.asarray(local_light_dir, np.float64)
+    d = d / np.linalg.norm(d)
+    ranked = get_major_axes(-d)
+    w0 = ranked[0][1]
+    if w0 > 0.99:
+        w0 = 1.0
+    return MajorAxes(
+        faces=(ranked[0][0], ranked[1][0]), weights=(float(w0), float(1.0 - w0))
+    )
+
+
+def face_axis(face: int) -> int:
+    """Volume axis (0/1/2) a face propagates along."""
+    return face // 2
+
+
+def face_direction(face: int) -> int:
+    """+1 = slices walk upward along the axis, -1 = downward.
+
+    Reference `GetAxisDirection` (`LightingShaderUtils.cpp:66-70`): even face
+    ids (+X/+Y/+Z, light on the positive side) propagate downward.
+    """
+    return 1 if face % 2 else -1
+
+
+def transposed_axes(face: int) -> tuple[int, int, int]:
+    """Axis permutation (buffer_x, buffer_y, propagation) for a face.
+
+    Reference `GetTransposedDimensions` (`LightingShaderUtils.cpp:48-64`):
+    along X the 2D buffer spans (Y, Z); along Y it spans (X, Z); along Z it
+    spans (X, Y).
+    """
+    return {0: (1, 2, 0), 1: (0, 2, 1), 2: (0, 1, 2)}[face_axis(face)]
+
+
+def face_uv_offset(face: int, light_pos, transposed_dims) -> tuple:
+    """Per-slice read-buffer UV offset toward the light.
+
+    Reference `GetUVOffset` (`LightingShaderUtils.cpp:82-129`): normalize the
+    light position so the propagation component is ±1; the two remaining
+    components (in buffer order), divided by the slice count, are the offset.
+    """
+    axis = face_axis(face)
+    sign = 1.0 if face % 2 == 0 else -1.0
+    lp = np.asarray(light_pos, np.float64) / (
+        sign * np.asarray(light_pos, np.float64)[axis]
+    )
+    bx_axis, by_axis, _ = transposed_axes(face)
+    return (lp[bx_axis] / transposed_dims[2], lp[by_axis] / transposed_dims[2])
+
+
+def face_step_and_uvw_offset(face: int, light_pos, transposed_dims, min_dim: int):
+    """(step_size, uvw_offset) for the occluder sample.
+
+    Reference `GetStepSizeAndUVWOffset` (`LightingShaderUtils.cpp:132-158`)
+    plus the caller-side renormalization of the offset to the longest voxel
+    side (`LightingShaders.cpp:119-124`): the *step size* keeps the length of
+    ``light_pos / (|component| * n_slices)`` while the *offset vector* is
+    rescaled to length ``1 / min(dims)`` ("not correct, but consistent").
+    """
+    axis = face_axis(face)
+    lp = np.asarray(light_pos, np.float64)
+    raw = lp / (abs(lp[axis]) * transposed_dims[2])
+    step_size = float(np.linalg.norm(raw))
+    unit = raw / np.linalg.norm(raw)
+    uvw_offset = tuple(float(c) for c in unit / min_dim)
+    return step_size, uvw_offset
+
+
+def _shift_1d_border(arr, offset, axis, border):
+    """1D linear-interp resample of ``arr`` shifted by fractional ``offset``
+    texels along ``axis``, out-of-range taps reading ``border``."""
+    n = arr.shape[axis]
+    i0 = jnp.floor(offset)
+    frac = offset - i0
+    base = jnp.arange(n) + i0.astype(jnp.int32)
+
+    def tap(idx):
+        v = jnp.take(arr, jnp.clip(idx, 0, n - 1), axis=axis)
+        inb = (idx >= 0) & (idx < n)
+        shape = [1] * arr.ndim
+        shape[axis] = n
+        return jnp.where(inb.reshape(shape), v, border)
+
+    return tap(base) * (1.0 - frac) + tap(base + 1) * frac
+
+
+def shift_2d_bilinear_border(buffer, offset_x, offset_y, border):
+    """Bilinear resample of a 2D buffer at ``pixel + (offset_x, offset_y)``
+    with a constant border value — the read-buffer sample of
+    `AddDirLightShader.usf:80-82` (border-addressed sampler whose border is
+    the unoccluded light alpha, `LightingShaders.cpp:100-101`)."""
+    out = _shift_1d_border(buffer, offset_x, 0, border)
+    return _shift_1d_border(out, offset_y, 1, border)
+
+
+def occluder_opacity_volume(
+    volume,
+    tf_table,
+    windowing_vec4,
+    light_dims: tuple[int, int, int],
+    uvw_offset,
+    step_size,
+    clip_center,
+    clip_direction,
+):
+    """Precompute the per-voxel occluder opacity field for one face.
+
+    For every light-volume voxel this evaluates the body of
+    `AddDirLightShader.usf:84-114`: sample the data volume (trilinear) at the
+    voxel center offset toward the light, window + TF + step-size-correct the
+    alpha, weight by the soft clip-plane coverage, and zero samples whose
+    offset position leaves [0,1]^3.
+
+    Returns an array of shape ``light_dims``.
+    """
+    res = jnp.asarray(light_dims, jnp.float32)
+    grids = jnp.meshgrid(
+        *[jnp.arange(d, dtype=jnp.float32) for d in light_dims], indexing="ij"
+    )
+    uvw = (jnp.stack(grids, axis=-1) + 0.5) / res + jnp.asarray(
+        uvw_offset, jnp.float32
+    )
+    alpha_weight = clip_soft_alpha_weight(uvw, clip_center, clip_direction, res)
+    inside = jnp.all((uvw >= 0.0) & (uvw <= 1.0), axis=-1)
+    value = trilinear_sample(volume, uvw)
+    opacity = sample_windowed_transfer_function(
+        value, step_size * VOLUME_DENSITY, tf_table, windowing_vec4
+    )[..., 3]
+    return jnp.where(inside & (alpha_weight > 0.0), opacity * alpha_weight, 0.0)
+
+
+class FacePropagationPlan(NamedTuple):
+    """Host-side precomputed geometry for one face's propagation.
+
+    The reference computes these on the CPU before the dispatch loop
+    (`LightingShaders.cpp:100-130`); they depend on the (concrete) light
+    direction, not on any traced array, so they stay python floats and the
+    jitted scan below specializes on the face only.
+    """
+
+    face: int
+    uv_offset: tuple[float, float]  # read-buffer offset in buffer UV units
+    uvw_offset: tuple[float, float, float]  # occluder-sample offset (UVW)
+    step_size: float  # occluder opacity-correction step length
+    light_alpha: float | jnp.ndarray  # intensity * face weight
+
+
+def plan_face_propagation(
+    face: int, light_pos, light_dims, intensity_times_weight
+) -> FacePropagationPlan:
+    """Build the host-side geometry plan for one face (numpy, concrete dirs)."""
+    ax = transposed_axes(face)
+    tdims = (light_dims[ax[0]], light_dims[ax[1]], light_dims[ax[2]])
+    lp = np.asarray(light_pos, np.float64)
+    uv_off = face_uv_offset(face, lp, tdims)
+    step_size, uvw_off = face_step_and_uvw_offset(face, lp, tdims, min(light_dims))
+    return FacePropagationPlan(face, uv_off, uvw_off, step_size, intensity_times_weight)
+
+
+@partial(jax.jit, static_argnames=("face", "light_dims", "apply_write_threshold"))
+def _propagate_one_face(
+    volume,
+    tf_table,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    uv_off,  # (2,) read-buffer offset in buffer UV units
+    uvw_off,  # (3,) occluder sample offset in UVW
+    step_size,  # scalar opacity-correction step length
+    light_alpha,  # scalar: intensity * face weight
+    face: int,
+    light_dims: tuple[int, int, int],
+    apply_write_threshold: bool = True,
+):
+    """Propagate one face's share of a light through the volume.
+
+    Returns the per-voxel transmitted light (always positive), shape
+    ``light_dims`` — the caller adds/subtracts it into the light volume.
+    """
+    ax = transposed_axes(face)
+    tdims = (light_dims[ax[0]], light_dims[ax[1]], light_dims[ax[2]])
+
+    opacity = occluder_opacity_volume(
+        volume,
+        tf_table,
+        windowing_vec4,
+        light_dims,
+        uvw_off,
+        step_size,
+        clip_center,
+        clip_direction,
+    )
+    # Transpose so the propagation axis is last; flip so the scan always walks
+    # slice 0 -> N-1 in propagation order.
+    opacity_t = jnp.transpose(opacity, ax)
+    if face_direction(face) == -1:
+        opacity_t = jnp.flip(opacity_t, axis=2)
+
+    off_px = uv_off[0] * tdims[0]
+    off_py = uv_off[1] * tdims[1]
+
+    def slice_step(carry, slice_opacity):
+        prev = shift_2d_bilinear_border(carry, off_px, off_py, light_alpha)
+        cur = prev * (1.0 - slice_opacity)
+        return cur, cur
+
+    init = jnp.full((tdims[0], tdims[1]), light_alpha, jnp.float32)
+    _, slices = jax.lax.scan(
+        slice_step, init, jnp.moveaxis(opacity_t, 2, 0)
+    )
+    result_t = jnp.moveaxis(slices, 0, 2)
+    if apply_write_threshold:
+        result_t = jnp.where(
+            jnp.abs(result_t) > WRITE_SKIP_THRESHOLD, result_t, 0.0
+        )
+    if face_direction(face) == -1:
+        result_t = jnp.flip(result_t, axis=2)
+    # Invert the transpose.
+    inv = [0, 0, 0]
+    for i, a in enumerate(ax):
+        inv[a] = i
+    return jnp.transpose(result_t, inv)
+
+
+def compute_light_contribution(
+    volume,
+    tf_table,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    local_light_dir,
+    intensity,
+    light_dims: tuple[int, int, int],
+    apply_write_threshold: bool = True,
+):
+    """Total transmitted-light field of one directional light (both axes).
+
+    Reference: the per-axis loop of `AddDirLightToSingleLightVolume_RenderThread`
+    (`LightingShaders.cpp:91-159`) — the top-2 weighted faces each propagate
+    ``intensity * weight`` and their contributions sum in the light volume.
+    """
+    local_light_dir = np.asarray(jax.device_get(local_light_dir), np.float64)
+    local_light_dir = local_light_dir / np.linalg.norm(local_light_dir)
+    axes = local_light_major_axes(local_light_dir)
+    light_pos = -local_light_dir
+    light_dims = tuple(int(d) for d in light_dims)
+
+    total = jnp.zeros(light_dims, jnp.float32)
+    for face, weight in zip(axes.faces, axes.weights):
+        if weight == 0.0:
+            continue
+        plan = plan_face_propagation(face, light_pos, light_dims, weight)
+        contrib = _propagate_one_face(
+            volume,
+            tf_table,
+            windowing_vec4,
+            clip_center,
+            clip_direction,
+            jnp.asarray(plan.uv_offset, jnp.float32),
+            jnp.asarray(plan.uvw_offset, jnp.float32),
+            jnp.asarray(plan.step_size, jnp.float32),
+            jnp.asarray(intensity, jnp.float32) * weight,
+            face,
+            light_dims,
+            apply_write_threshold,
+        )
+        total = total + contrib
+    return total
+
+
+def add_dir_light(
+    light_volume,
+    volume,
+    tf_table,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    local_light_dir,
+    intensity,
+    added: bool = True,
+    apply_write_threshold: bool = True,
+):
+    """Add (or remove, ``added=False``) one directional light's contribution.
+
+    Matches `AddDirLightToSingleLightVolume_RenderThread`
+    (`LightingShaders.cpp:35-166`) including the ``bAdded=±1`` semantics.
+    """
+    contrib = compute_light_contribution(
+        volume,
+        tf_table,
+        windowing_vec4,
+        clip_center,
+        clip_direction,
+        local_light_dir,
+        intensity,
+        light_volume.shape,
+        apply_write_threshold,
+    )
+    return light_volume + (contrib if added else -contrib)
+
+
+def change_dir_light(
+    light_volume,
+    volume,
+    tf_table,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    old_local_dir,
+    old_intensity,
+    new_local_dir,
+    new_intensity,
+    apply_write_threshold: bool = True,
+):
+    """Selective light update: swap one light's old parameters for new ones.
+
+    Reference `ChangeDirLightInSingleLightVolume_RenderThread`
+    (`LightingShaders.cpp:168-326`): a fused remove+add writing ``new - old``.
+    Functionally the fused shader equals remove-then-add per voxel, except the
+    write-skip threshold applies to the *delta* rather than to each term —
+    when thresholding is on we therefore compute both contributions without
+    per-term thresholding and threshold the difference, matching
+    `ChangeDirLightShader.usf:151-155`. Falls back to remove+add semantics
+    automatically (they are identical here — no ping-pong buffers to reuse).
+    """
+    old_c = compute_light_contribution(
+        volume, tf_table, windowing_vec4, clip_center, clip_direction,
+        old_local_dir, old_intensity, light_volume.shape, False,
+    )
+    new_c = compute_light_contribution(
+        volume, tf_table, windowing_vec4, clip_center, clip_direction,
+        new_local_dir, new_intensity, light_volume.shape, False,
+    )
+    delta = new_c - old_c
+    if apply_write_threshold:
+        delta = jnp.where(jnp.abs(delta) > WRITE_SKIP_THRESHOLD, delta, 0.0)
+    return light_volume + delta
+
+
+def clear_light_volume(light_dims, value: float = 0.0):
+    """Fresh light volume (`ClearVolumeTexture_RenderThread`,
+    `Private/Util/UtilityShaders.cpp:28-52`)."""
+    return jnp.full(tuple(light_dims), value, jnp.float32)
+
+
+def reset_all_lights(
+    volume,
+    tf_table,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    lights_local,  # sequence of (local_dir, intensity)
+    light_dims,
+    apply_write_threshold: bool = True,
+):
+    """Full illumination rebuild: clear + add every light
+    (`ARaymarchVolume::ResetAllLights`, `RaymarchVolume.cpp:418-451`)."""
+    lv = clear_light_volume(light_dims)
+    for local_dir, intensity in lights_local:
+        lv = add_dir_light(
+            lv, volume, tf_table, windowing_vec4, clip_center, clip_direction,
+            local_dir, intensity, True, apply_write_threshold,
+        )
+    return lv

@@ -1,0 +1,125 @@
+"""Transfer function tables: creation, curve baking, lookup.
+
+The reference bakes `UCurveLinearColor` assets into 256x1 RGBA float16
+textures (`ColorCurveToTexture`, `Private/Util/RaymarchUtils.cpp:143-174`) and
+has a default grayscale ramp TF (`MakeDefaultTFTexture`, `:113-141`).
+
+Here a transfer function is simply a ``(resolution, 4)`` float32 array — a
+first-class differentiable parameter (the primary gradient surface of the
+framework, per BASELINE). Lookup semantics match GPU bilinear sampling of a
+256-wide texture at v-coordinate 0.5 with clamp addressing
+(`WindowedSampling.usf:33`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+TF_RESOLUTION = 256
+
+
+def default_grayscale_tf(resolution: int = TF_RESOLUTION) -> jnp.ndarray:
+    """Grayscale ramp with alpha 1 (reference `MakeDefaultTFTexture`)."""
+    ramp = jnp.linspace(0.0, 1.0, resolution, dtype=jnp.float32)
+    return jnp.stack([ramp, ramp, ramp, jnp.ones_like(ramp)], axis=-1)
+
+
+def tf_from_keypoints(
+    positions, colors, resolution: int = TF_RESOLUTION
+) -> jnp.ndarray:
+    """Bake a piecewise-linear color curve into a TF table.
+
+    The TPU-native analogue of evaluating a `UCurveLinearColor` at
+    ``i / (resolution - 1)`` for each texel (`RaymarchUtils.cpp:152-162`).
+
+    Args:
+      positions: (K,) sorted curve-key positions in [0, 1].
+      colors: (K, 4) RGBA values at those positions.
+      resolution: number of texels.
+    """
+    positions = np.asarray(positions, np.float32)
+    colors = np.asarray(colors, np.float32)
+    xs = np.linspace(0.0, 1.0, resolution, dtype=np.float32)
+    out = np.stack(
+        [np.interp(xs, positions, colors[:, c]) for c in range(4)], axis=-1
+    )
+    return jnp.asarray(out)
+
+
+def sample_tf(tf_table: jnp.ndarray, tf_pos: jnp.ndarray) -> jnp.ndarray:
+    """Linear-interpolated TF lookup with clamp addressing.
+
+    Matches `TF.SampleLevel(sampler, float2(TFPos, 0.5), 0)` with a clamped
+    bilinear sampler on a ``(R, 1)`` texture: texel centers at ``(i+0.5)/R``.
+
+    Args:
+      tf_table: (R, 4) RGBA table.
+      tf_pos: (...,) sample positions (typically from windowing; may lie
+        outside [0, 1], in which case clamp addressing applies).
+
+    Returns:
+      (..., 4) RGBA samples.
+    """
+    res = tf_table.shape[0]
+    x = tf_pos * res - 0.5
+    i0 = jnp.floor(x)
+    frac = x - i0
+    i0c = jnp.clip(i0.astype(jnp.int32), 0, res - 1)
+    i1c = jnp.clip(i0.astype(jnp.int32) + 1, 0, res - 1)
+    c0 = jnp.take(tf_table, i0c, axis=0)
+    c1 = jnp.take(tf_table, i1c, axis=0)
+    return c0 + (c1 - c0) * frac[..., None]
+
+
+# A few stock medical-imaging-style TFs standing in for the reference's 22
+# `TF_CT-*` color-curve assets (`Content/Curves/`). Keypoints are original
+# designs, not extracted from the binary assets.
+def tf_ct_bone(resolution: int = TF_RESOLUTION) -> jnp.ndarray:
+    return tf_from_keypoints(
+        [0.0, 0.35, 0.5, 0.75, 1.0],
+        [
+            [0.0, 0.0, 0.0, 0.0],
+            [0.4, 0.2, 0.1, 0.0],
+            [0.9, 0.8, 0.6, 0.3],
+            [1.0, 0.95, 0.85, 0.8],
+            [1.0, 1.0, 1.0, 1.0],
+        ],
+        resolution,
+    )
+
+
+def tf_ct_soft_tissue(resolution: int = TF_RESOLUTION) -> jnp.ndarray:
+    return tf_from_keypoints(
+        [0.0, 0.2, 0.45, 0.7, 1.0],
+        [
+            [0.0, 0.0, 0.0, 0.0],
+            [0.6, 0.2, 0.15, 0.05],
+            [0.8, 0.5, 0.35, 0.25],
+            [0.95, 0.85, 0.7, 0.6],
+            [1.0, 1.0, 0.95, 0.9],
+        ],
+        resolution,
+    )
+
+
+def tf_rainbow(resolution: int = TF_RESOLUTION) -> jnp.ndarray:
+    return tf_from_keypoints(
+        [0.0, 0.25, 0.5, 0.75, 1.0],
+        [
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 1.0, 1.0, 0.25],
+            [0.0, 1.0, 0.0, 0.5],
+            [1.0, 1.0, 0.0, 0.75],
+            [1.0, 0.0, 0.0, 1.0],
+        ],
+        resolution,
+    )
+
+
+STOCK_TRANSFER_FUNCTIONS = {
+    "grayscale": default_grayscale_tf,
+    "ct_bone": tf_ct_bone,
+    "ct_soft_tissue": tf_ct_soft_tissue,
+    "rainbow": tf_rainbow,
+}

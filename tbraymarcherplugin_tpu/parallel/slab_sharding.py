@@ -1,0 +1,336 @@
+"""P2/P4: volume slab sharding — the sequence-parallel analogue.
+
+For volumes too large (or too bandwidth-hungry) for one chip, the volume is
+sharded into slabs along its Z axis over the ``"slab"`` mesh axis
+(SURVEY §2.9 P2). Two components:
+
+- **Slab-sharded march** (:func:`march_lit_slab_sharded`): every device
+  marches the full ray batch against only its slab, accumulating the ray
+  *segment* that falls inside its Z interval; segments are then composed
+  front-to-back per ray. The over operator is associative, so per-slab segment
+  compositing is exact. A ray crosses a Z interval at most once (its Z
+  coordinate is monotone along the ray), so each segment is contiguous and
+  slab order is simply Z order, reversed where the ray points down.
+  Trilinear continuity across slab boundaries uses a one-plane halo exchanged
+  via `ppermute` — the ring hand-off of the BASELINE north star.
+  Early termination is disabled here: segment compositing is exact only
+  without the mid-ray alpha snap (single-chip path keeps it).
+
+- **Sharded illumination** (:func:`compute_illumination_sharded`): the
+  gather-heavy occluder-opacity field is computed shard-wise, then
+  all-gathered; the slice scan itself (bandwidth-trivial, sequential along
+  its axis) runs replicated. This keeps the expensive volume gathers local to
+  the slab owner for every propagation face uniformly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.pipeline import LightPlan, RenderParams, _windowing_vec4
+from ..ops import lighting as L
+from ..ops import march as M
+from ..ops.compositing import accumulate
+from ..ops.rays import RayBatch
+from ..ops.sampling import (
+    VOLUME_DENSITY,
+    is_clipped,
+    sample_windowed_transfer_function,
+    trilinear_sample,
+)
+
+
+def _halo_exchange_z(slab, axis_name: str):
+    """Append the next device's first Z plane as a +1 halo (last device
+    duplicates its own last plane — clamp-to-edge at the volume boundary)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    first_plane = slab[:, :, :1]
+    # Shift planes one step "down" the ring: device d receives d+1's plane.
+    received = jax.lax.ppermute(
+        first_plane, axis_name, [((i + 1) % n, i) for i in range(n)]
+    )
+    own_last = slab[:, :, -1:]
+    halo = jnp.where(idx == n - 1, own_last, received)
+    return jnp.concatenate([slab, halo], axis=2)
+
+
+def _trilinear_slab(slab_halo, uvw, global_dims, z_start):
+    """Trilinear sample at global UVW using a local Z slab (+1 halo).
+
+    Valid only where floor(global voxel z) lies in this slab; the caller masks
+    contributions by ownership, so out-of-slab lanes may read clamped garbage.
+    """
+    dims = jnp.asarray(global_dims, jnp.float32)
+    p = uvw * dims - 0.5
+    i0 = jnp.floor(p)
+    frac = p - i0
+    i0 = i0.astype(jnp.int32)
+
+    ix0 = jnp.clip(i0[..., 0], 0, global_dims[0] - 1)
+    ix1 = jnp.clip(i0[..., 0] + 1, 0, global_dims[0] - 1)
+    iy0 = jnp.clip(i0[..., 1], 0, global_dims[1] - 1)
+    iy1 = jnp.clip(i0[..., 1] + 1, 0, global_dims[1] - 1)
+    # Z: clamp globally, then rebase into the slab (+halo) index space.
+    z_len = slab_halo.shape[2] - 1
+    iz0 = jnp.clip(jnp.clip(i0[..., 2], 0, global_dims[2] - 1) - z_start, 0, z_len)
+    iz1 = jnp.clip(iz0 + 1, 0, z_len)
+
+    flat = slab_halo.reshape(-1)
+    sy = slab_halo.shape[1] * slab_halo.shape[2]
+    sz = slab_halo.shape[2]
+
+    def corner(ix, iy, iz):
+        return jnp.take(flat, ix * sy + iy * sz + iz, axis=0)
+
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    c00 = corner(ix0, iy0, iz0) * (1 - fz) + corner(ix0, iy0, iz1) * fz
+    c01 = corner(ix0, iy1, iz0) * (1 - fz) + corner(ix0, iy1, iz1) * fz
+    c10 = corner(ix1, iy0, iz0) * (1 - fz) + corner(ix1, iy0, iz1) * fz
+    c11 = corner(ix1, iy1, iz0) * (1 - fz) + corner(ix1, iy1, iz1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def _march_segment(
+    slab_halo,
+    z_start,
+    z_count,
+    global_dims,
+    tf_table,
+    light_volume,
+    rays: RayBatch,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    step_count: int,
+    compat_final_step: bool = True,
+):
+    """March all rays, accumulating only samples owned by this slab."""
+    step_size = 1.0 / step_count
+    step_vec = rays.direction * step_size
+    float_actual = step_count * rays.thickness
+    n_full = jnp.floor(float_actual)
+    final_frac = float_actual - n_full
+    step_world = VOLUME_DENSITY * step_size
+    n_steps = M.max_march_steps(step_count)
+
+    z_dim = global_dims[2]
+
+    def owned(pos):
+        pz = pos[..., 2] * z_dim - 0.5
+        iz = jnp.clip(jnp.floor(pz), 0, z_dim - 1)
+        return (iz >= z_start) & (iz < z_start + z_count)
+
+    def sample(pos, step_sz):
+        value = _trilinear_slab(slab_halo, pos, global_dims, z_start)
+        rgba = sample_windowed_transfer_function(
+            value, step_sz, tf_table, windowing_vec4
+        )
+        light = trilinear_sample(light_volume, jnp.clip(pos, 0.0, 1.0))
+        return jnp.concatenate(
+            [rgba[..., :3] * light[..., None], rgba[..., 3:]], -1
+        )
+
+    def body(carry, i):
+        pos, energy = carry
+        in_range = i < n_full
+        pos = jnp.where(in_range[..., None], pos + step_vec, pos)
+        active = (
+            in_range
+            & owned(pos)
+            & ~is_clipped(pos, clip_center, clip_direction)
+        )
+        energy = jnp.where(
+            active[..., None], accumulate(energy, sample(pos, step_world)), energy
+        )
+        return (pos, energy), None
+
+    init = (rays.entry, jnp.zeros(rays.thickness.shape + (4,), jnp.float32))
+    (pos, energy), _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+
+    pos_f = pos + step_vec * final_frac[..., None]
+    active_f = (
+        (final_frac > 0.0)
+        & owned(pos_f)
+        & ~is_clipped(pos_f, clip_center, clip_direction)
+    )
+    fs_world = (
+        VOLUME_DENSITY * final_frac
+        if compat_final_step
+        else VOLUME_DENSITY * step_size * final_frac
+    )
+    energy = jnp.where(
+        active_f[..., None], accumulate(energy, sample(pos_f, fs_world)), energy
+    )
+    return energy
+
+
+def march_lit_slab_sharded(
+    mesh: Mesh,
+    volume,  # (X, Y, Z) — sharded as P(None, None, "slab") or replicated input
+    tf_table,
+    light_volume,
+    rays: RayBatch,  # replicated
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    step_count: int = 150,
+    axis: str = "slab",
+    compat_final_step: bool = True,
+):
+    """Slab-sharded lit march. Returns (..., 4) image like `march_lit` with
+    early termination disabled (see module docstring)."""
+    n_shards = mesh.shape[axis]
+    global_dims = tuple(volume.shape)
+    assert global_dims[2] % n_shards == 0, "Z must divide the slab axis"
+    z_count = global_dims[2] // n_shards
+    img_shape = rays.thickness.shape
+    flat = RayBatch(
+        rays.entry.reshape(-1, 3),
+        rays.direction.reshape(-1, 3),
+        rays.thickness.reshape(-1),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(), P(), RayBatch(P(), P(), P())),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vol_slab, tf, lv, rays_rep):
+        my = jax.lax.axis_index(axis)
+        slab_halo = _halo_exchange_z(vol_slab, axis)
+        seg = _march_segment(
+            slab_halo, my * z_count, z_count, global_dims, tf, lv, rays_rep,
+            windowing_vec4, clip_center, clip_direction, step_count,
+            compat_final_step,
+        )
+        # Gather all segments: (S, N, 4) everywhere, then compose in Z order
+        # (flipped for rays pointing toward -Z).
+        segs = jax.lax.all_gather(seg, axis)
+        dir_z = rays_rep.direction[..., 2]
+        fwd = dir_z >= 0.0
+
+        energy = jnp.zeros(rays_rep.thickness.shape + (4,), jnp.float32)
+        n = segs.shape[0]
+        for i in range(n):
+            idx_fwd = i
+            idx_bwd = n - 1 - i
+            seg_i = jnp.where(
+                fwd[..., None], segs[idx_fwd], segs[idx_bwd]
+            )
+            energy = accumulate(energy, seg_i)
+        return energy
+
+    out = run(volume, tf_table, light_volume, flat)
+    return out.reshape(*img_shape, 4)
+
+
+def compute_illumination_sharded(
+    mesh: Mesh,
+    params: RenderParams,
+    light_plans: Sequence[LightPlan],
+    clip_center,
+    clip_direction,
+    light_dims,
+    axis: str = "slab",
+    low_cutoff: bool = True,
+    high_cutoff: bool = True,
+):
+    """Illumination with the occluder-opacity gathers sharded along Z.
+
+    Each device evaluates the opacity field only for its Z slab of the light
+    grid (sampling its volume slab + halo), the slabs are all-gathered, and
+    the cheap 2D-carry scan runs replicated. Matches
+    :func:`~tbraymarcherplugin_tpu.models.pipeline.compute_illumination`.
+    """
+    n_shards = mesh.shape[axis]
+    light_dims = tuple(int(d) for d in light_dims)
+    vol_dims = tuple(params.volume.shape)
+    assert light_dims[2] % n_shards == 0 and vol_dims[2] % n_shards == 0
+    lz = light_dims[2] // n_shards
+    win = _windowing_vec4(params, low_cutoff, high_cutoff)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def opacity_for_plan(vol_slab, plan_args):
+        uvw_off, step_size = plan_args
+        my = jax.lax.axis_index(axis)
+        slab_halo = _halo_exchange_z(vol_slab, axis)
+        # Light-grid coordinates for my Z slab.
+        gx = jnp.arange(light_dims[0], dtype=jnp.float32)
+        gy = jnp.arange(light_dims[1], dtype=jnp.float32)
+        gz = jnp.arange(lz, dtype=jnp.float32) + (my * lz).astype(jnp.float32)
+        res = jnp.asarray(light_dims, jnp.float32)
+        uvw = (
+            jnp.stack(jnp.meshgrid(gx, gy, gz, indexing="ij"), axis=-1) + 0.5
+        ) / res + uvw_off
+        from ..ops.sampling import clip_soft_alpha_weight
+
+        aw = clip_soft_alpha_weight(uvw, clip_center, clip_direction, res)
+        inside = jnp.all((uvw >= 0.0) & (uvw <= 1.0), axis=-1)
+        # Volume-slab Z offset: voxel z of my slab start in the data volume.
+        value = _trilinear_slab(
+            slab_halo, uvw, vol_dims, my * (vol_dims[2] // n_shards)
+        )
+        opacity = sample_windowed_transfer_function(
+            value, step_size * VOLUME_DENSITY, params.tf_table, win
+        )[..., 3]
+        opac = jnp.where(inside & (aw > 0.0), opacity * aw, 0.0)
+        return jax.lax.all_gather(opac, axis, axis=2, tiled=True)
+
+    lv = jnp.zeros(light_dims, jnp.float32)
+    for li, plan in enumerate(light_plans):
+        intensity = params.light_intensities[li]
+        for fp in plan.face_plans:
+            opacity = opacity_for_plan(
+                params.volume,
+                (
+                    jnp.asarray(fp.uvw_offset, jnp.float32),
+                    jnp.asarray(fp.step_size, jnp.float32),
+                ),
+            )
+            # Replicated scan, same as the single-device path.
+            ax = L.transposed_axes(fp.face)
+            tdims = (light_dims[ax[0]], light_dims[ax[1]], light_dims[ax[2]])
+            opacity_t = jnp.transpose(opacity, ax)
+            if L.face_direction(fp.face) == -1:
+                opacity_t = jnp.flip(opacity_t, axis=2)
+            light_alpha = intensity * fp.light_alpha
+            off_px = fp.uv_offset[0] * tdims[0]
+            off_py = fp.uv_offset[1] * tdims[1]
+
+            def slice_step(carry, sl):
+                prev = L.shift_2d_bilinear_border(carry, off_px, off_py, light_alpha)
+                cur = prev * (1.0 - sl)
+                return cur, cur
+
+            init = jnp.full((tdims[0], tdims[1]), light_alpha, jnp.float32)
+            _, slices = jax.lax.scan(slice_step, init, jnp.moveaxis(opacity_t, 2, 0))
+            result_t = jnp.moveaxis(slices, 0, 2)
+            if L.face_direction(fp.face) == -1:
+                result_t = jnp.flip(result_t, axis=2)
+            inv = [0, 0, 0]
+            for i, a in enumerate(ax):
+                inv[a] = i
+            lv = lv + jnp.transpose(result_t, inv)
+    return lv
+
+
+def _trilinear_slab_z_owner(pos_z, z_dim, z_start, z_count):
+    iz = jnp.clip(jnp.floor(pos_z * z_dim - 0.5), 0, z_dim - 1)
+    return (iz >= z_start) & (iz < z_start + z_count)

@@ -1,0 +1,23 @@
+"""Test configuration: force a virtual 8-device CPU mesh before jax imports.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh (SURVEY §4):
+real TPU hardware in CI is a single chip, so tests must not depend on it.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,136 @@
+"""Renderer orchestration tests: dirty-flag reactivity (SURVEY §3.5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tbraymarcherplugin_tpu.ops import lighting as L
+from tbraymarcherplugin_tpu.ops import synthetic
+from tbraymarcherplugin_tpu.ops import transfer as T
+from tbraymarcherplugin_tpu.renderer import Renderer, RendererConfig
+from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, DirLight, VolumeTransform
+
+RAMP_TF = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0], [1, 1, 1, 1]])
+
+
+def make_renderer(**cfg):
+    vol = synthetic.sphere_volume((16, 16, 16), radius=0.35)
+    config = RendererConfig(step_count=32, **cfg)
+    r = Renderer(vol, tf_table=RAMP_TF, config=config)
+    return r
+
+
+def test_render_modes_produce_images():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    r = make_renderer()
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    for mode in ("lit", "intensity", "octree"):
+        r.set_render_mode(mode)
+        img = np.asarray(r.render(cam, 12, 12))
+        assert img.shape == (12, 12, 4)
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0.0, mode
+
+
+def test_lighting_cached_between_frames():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0])
+    r = make_renderer()
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.render(cam, 8, 8)
+    lv1 = r.light_volume
+    r.render(cam, 8, 8)
+    # Unchanged scene: the illumination volume object is reused, not rebuilt.
+    assert r.light_volume is lv1
+
+
+def test_selective_update_matches_full_rebuild():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0])
+    r = make_renderer(apply_write_threshold=False)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.add_light("fill", DirLight.create([1.0, 0.0, 0.0], 0.4))
+    r.render(cam, 8, 8)
+    # Move one light -> selective (incremental) update path.
+    r.update_light("sun", DirLight.create([0.4, 0.0, -0.9], 0.8))
+    r.ensure_lighting()
+    incremental = np.asarray(r.light_volume)
+
+    r2 = make_renderer(apply_write_threshold=False)
+    r2.add_light("sun", DirLight.create([0.4, 0.0, -0.9], 0.8))
+    r2.add_light("fill", DirLight.create([1.0, 0.0, 0.0], 0.4))
+    r2.ensure_lighting()
+    np.testing.assert_allclose(
+        incremental, np.asarray(r2.light_volume), atol=1e-5
+    )
+
+
+def test_window_change_dirties_lights():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0])
+    r = make_renderer()
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.render(cam, 8, 8)
+    lv1 = np.asarray(r.light_volume)
+    r.set_window_width(0.5)
+    r.render(cam, 8, 8)
+    assert not np.allclose(lv1, np.asarray(r.light_volume))
+
+
+def test_remove_light_subtracts():
+    r = make_renderer(apply_write_threshold=False)
+    r.add_light("a", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.add_light("b", DirLight.create([1.0, 0.0, 0.0], 0.5))
+    r.ensure_lighting()
+    r.remove_light("b")
+    after = np.asarray(r.light_volume)
+
+    solo = make_renderer(apply_write_threshold=False)
+    solo.add_light("a", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    solo.ensure_lighting()
+    np.testing.assert_allclose(after, np.asarray(solo.light_volume), atol=1e-5)
+
+
+def test_half_resolution_config():
+    r = make_renderer(light_volume_half_resolution=True)
+    assert r.light_volume_dims() == (8, 8, 8)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.ensure_lighting()
+    assert r.light_volume.shape == (8, 8, 8)
+
+
+def test_8bit_light_volume_quantization():
+    r = make_renderer(light_volume_32bit=False)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.ensure_lighting()
+    lv = np.asarray(r.light_volume)
+    np.testing.assert_allclose(lv, np.round(lv * 255) / 255, atol=1e-7)
+
+
+def test_transform_change_triggers_recompute():
+    r = make_renderer()
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    r.ensure_lighting()
+    lv1 = np.asarray(r.light_volume)
+    # Rotate the volume 90 deg about X: the local light direction changes.
+    rot = np.array([[1.0, 0, 0], [0, 0, 1.0], [0, -1.0, 0]])
+    r.set_transform(VolumeTransform.create(rotation=rot))
+    assert r._lights_dirty
+    r.ensure_lighting()
+    assert not np.allclose(lv1, np.asarray(r.light_volume))
+
+
+def test_clip_plane_affects_render_and_lights():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0])
+    r = make_renderer()
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    img1 = np.asarray(r.render(cam, 10, 10))
+    r.set_clip_plane(ClipPlane.create([0.0, 0.0, 0.0], [0.0, 0.0, 1.0]))
+    img2 = np.asarray(r.render(cam, 10, 10))
+    assert not np.allclose(img1, img2)
+
+
+def test_jitter_advances_frame_index():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0])
+    r = make_renderer(jitter=True)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    a = np.asarray(r.render(cam, 8, 8))
+    b = np.asarray(r.render(cam, 8, 8))
+    # Temporal jitter: consecutive frames differ slightly.
+    assert not np.array_equal(a, b)

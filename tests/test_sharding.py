@@ -1,0 +1,192 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(BASELINE config 5 semantics; scaling numbers come from real hardware)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tbraymarcherplugin_tpu.models import LightPlan, RenderParams, render_lit_scene
+from tbraymarcherplugin_tpu.ops import march as M
+from tbraymarcherplugin_tpu.ops import synthetic
+from tbraymarcherplugin_tpu.ops import transfer as T
+from tbraymarcherplugin_tpu.ops.rays import setup_rays
+from tbraymarcherplugin_tpu.parallel import (
+    compute_illumination_sharded,
+    make_mesh,
+    make_sharded_train_step,
+    march_lit_slab_sharded,
+    render_lit_sharded,
+)
+from tbraymarcherplugin_tpu.models.pipeline import compute_illumination
+from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, VolumeTransform
+
+NO_CLIP = ClipPlane.disabled()
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _scene(dims=(16, 16, 16), img=12):
+    volume = synthetic.sphere_volume(dims, radius=0.35)
+    tf = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0], [1, 1, 1, 1]])
+    cam = Camera.look_at([0.3, -2.4, 0.5], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    rays = setup_rays(cam, VolumeTransform.create(), img, img)
+    params = RenderParams(
+        volume=volume,
+        tf_table=tf,
+        window_center=jnp.asarray(0.5),
+        window_width=jnp.asarray(1.0),
+        light_intensities=jnp.asarray([1.0]),
+    )
+    plans = (LightPlan.create([0.2, 0.1, -0.97], dims),)
+    return params, rays, plans, dims
+
+
+def test_ray_sharded_render_matches_single_device():
+    params, rays, plans, dims = _scene()
+    mesh = make_mesh({"rays": 8})
+    sharded = np.asarray(
+        render_lit_sharded(
+            mesh, params, rays, NO_CLIP.center, NO_CLIP.direction,
+            plans, dims, step_count=24,
+        )
+    )
+    single = np.asarray(
+        render_lit_scene(
+            params, rays, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+            step_count=24,
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_ray_sharded_padding_odd_count():
+    # 13x7 = 91 rays, not divisible by 8 -> padding path.
+    params, _, plans, dims = _scene()
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    rays = setup_rays(cam, VolumeTransform.create(), 13, 7)
+    mesh = make_mesh({"rays": 8})
+    sharded = np.asarray(
+        render_lit_sharded(
+            mesh, params, rays, NO_CLIP.center, NO_CLIP.direction,
+            plans, dims, step_count=16,
+        )
+    )
+    single = np.asarray(
+        render_lit_scene(
+            params, rays, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+            step_count=16,
+        )
+    )
+    assert sharded.shape == (7, 13, 4)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step_matches_single_device_grads():
+    params, rays, plans, dims = _scene(img=8)
+    mesh = make_mesh({"rays": 8})
+
+    def loss_from_image(img, target):
+        return jnp.sum((img - target) ** 2)
+
+    flat_rays, _ = __import__(
+        "tbraymarcherplugin_tpu.parallel.ray_sharding", fromlist=["pad_rays_for_mesh"]
+    ).pad_rays_for_mesh(rays, 8)
+    target = render_lit_scene(
+        params, flat_rays, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+        step_count=16,
+    )
+    target = target + 0.05  # make the loss nonzero
+
+    step, opt = make_sharded_train_step(
+        mesh, loss_from_image, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+        step_count=16, optimizer=optax.sgd(1e-3),
+    )
+    opt_state = opt.init(params)
+    p1, _, loss_sharded = step(params, opt_state, flat_rays, target)
+
+    # Single-device reference gradients.
+    def full_loss(p):
+        img = render_lit_scene(
+            p, flat_rays, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+            step_count=16,
+        )
+        return jnp.sum((img - target) ** 2)
+
+    loss_ref, grads_ref = jax.value_and_grad(full_loss)(params)
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_ref), rtol=1e-5
+    )
+    updates = jax.tree_util.tree_map(lambda g: -1e-3 * g, grads_ref)
+    p_ref = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(p1.tf_table), np.asarray(p_ref.tf_table), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(p1.window_center), float(p_ref.window_center), rtol=1e-5
+    )
+
+
+def test_slab_sharded_march_matches_single_device():
+    params, rays, plans, dims = _scene()
+    mesh = make_mesh({"slab": 8})
+    lv = compute_illumination(
+        params, plans, NO_CLIP.center, NO_CLIP.direction, dims
+    )
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    sharded = np.asarray(
+        march_lit_slab_sharded(
+            mesh, params.volume, params.tf_table, lv, rays, win,
+            NO_CLIP.center, NO_CLIP.direction, step_count=24,
+        )
+    )
+    # Single-device with early termination disabled (the sharded path's
+    # documented semantics).
+    single = np.asarray(
+        M.march_lit(
+            params.volume, params.tf_table, lv, rays, win,
+            NO_CLIP.center, NO_CLIP.direction, step_count=24,
+            early_termination=2.0,
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_illumination_matches_single_device():
+    params, rays, plans, dims = _scene()
+    mesh = make_mesh({"slab": 8})
+    got = np.asarray(
+        compute_illumination_sharded(
+            mesh, params, plans, NO_CLIP.center, NO_CLIP.direction, dims
+        )
+    )
+    want = np.asarray(
+        compute_illumination(
+            params, plans, NO_CLIP.center, NO_CLIP.direction, dims
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_2d_mesh_rays_and_slab():
+    # Combined mesh: rays DP on one axis, slab sharding available on the other.
+    params, rays, plans, dims = _scene()
+    mesh = make_mesh({"rays": 4, "slab": 2})
+    sharded = np.asarray(
+        render_lit_sharded(
+            mesh, params, rays, NO_CLIP.center, NO_CLIP.direction,
+            plans, dims, step_count=16,
+        )
+    )
+    single = np.asarray(
+        render_lit_scene(
+            params, rays, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+            step_count=16,
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
