@@ -121,6 +121,7 @@ def compute_illumination(
         "high_cutoff",
         "checkpoint_every",
         "early_termination",
+        "march_impl",
     ),
 )
 def render_lit_scene(
@@ -135,17 +136,47 @@ def render_lit_scene(
     high_cutoff: bool = True,
     checkpoint_every: int = 32,
     early_termination: float = 0.95,
+    march_impl: str = "blocked",
 ) -> jnp.ndarray:
     """Differentiable lit render: illumination + march, one XLA computation.
 
     This is the "train step" analogue of the whole reference pipeline
-    (SURVEY §3.2 + §3.3 fused).
+    (SURVEY §3.2 + §3.3 fused). ``march_impl`` selects the step-sequential
+    scan march ("scan") or the TPU-throughput block-parallel march
+    ("blocked", default) — both have identical reference semantics.
     """
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = compute_illumination(
         params, light_plans, clip_center, clip_direction, light_dims,
         low_cutoff, high_cutoff,
     )
+    if march_impl == "blocked":
+        n_rays = int(np.prod(rays.thickness.shape))
+        if n_rays > M.DEFAULT_TILE_SIZE:
+            return M.march_lit_tiled(
+                params.volume,
+                params.tf_table,
+                lv,
+                rays,
+                win,
+                clip_center,
+                clip_direction,
+                step_count=step_count,
+                block_size=checkpoint_every,
+                early_termination=early_termination,
+            )
+        return M.march_lit_blocked(
+            params.volume,
+            params.tf_table,
+            lv,
+            rays,
+            win,
+            clip_center,
+            clip_direction,
+            step_count=step_count,
+            block_size=checkpoint_every,
+            early_termination=early_termination,
+        )
     return M.march_lit(
         params.volume,
         params.tf_table,

@@ -11,7 +11,7 @@ from . import (
     synthetic,
     transfer,
 )
-from .march import march_intensity, march_lit
+from .march import march_intensity, march_lit, march_lit_blocked, march_lit_tiled
 from .octree import Octree, build_octree, march_octree
 from .rays import RayBatch, setup_rays
 from .transfer import default_grayscale_tf, sample_tf, tf_from_keypoints
@@ -27,6 +27,8 @@ __all__ = [
     "march",
     "march_intensity",
     "march_lit",
+    "march_lit_blocked",
+    "march_lit_tiled",
     "march_octree",
     "octree",
     "rays",

@@ -65,6 +65,8 @@ class RendererConfig:
     early_termination: float = 0.95
     apply_write_threshold: bool = True
     compat_final_step: bool = True
+    # "blocked" = TPU-throughput block-parallel march; "scan" = step-sequential.
+    march_impl: str = "blocked"
 
 
 def _quantize_u8(x):
@@ -88,6 +90,7 @@ class Renderer:
         from .ops.transfer import default_grayscale_tf
 
         self.config = config or RendererConfig()
+        self._has_real_info = info is not None
         self.info = info or VolumeInfo(
             dimensions=tuple(volume.shape), is_normalized=True,
             min_value=0.0, max_value=1.0,
@@ -119,9 +122,18 @@ class Renderer:
     # --- resource setup -----------------------------------------------------
 
     def _default_scale(self):
+        """World scale of the proxy cube.
+
+        With real metadata this mirrors `SetRelativeScale3D(WorldDimensions/10)`
+        (`RaymarchVolume.cpp:547`, mm -> cm). Without metadata (a bare array)
+        the volume is a unit cube — synthesizing a fake mm scale from voxel
+        counts would silently blow the cube up to `dims` world units.
+        """
+        if not self._has_real_info:
+            return (1.0, 1.0, 1.0)
         wd = self.info.world_dimensions
         if all(d > 0 for d in wd):
-            return wd
+            return tuple(d / 10.0 for d in wd)
         return (1.0, 1.0, 1.0)
 
     def light_volume_dims(self):
@@ -310,7 +322,16 @@ class Renderer:
 
         mode = self.config.render_mode
         if mode == "lit":
-            return M.march_lit(
+            if self.config.march_impl == "blocked":
+                n_rays = width * height
+                march = (
+                    M.march_lit_tiled
+                    if n_rays > M.DEFAULT_TILE_SIZE
+                    else M.march_lit_blocked
+                )
+            else:
+                march = M.march_lit
+            return march(
                 self.volume, self.tf_table, self.light_volume, rays, win,
                 local_clip.center, local_clip.direction, jitter=jitter,
                 step_count=self.config.step_count,

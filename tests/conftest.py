@@ -6,7 +6,9 @@ real TPU hardware in CI is a single chip, so tests must not depend on it.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the CI environment pre-sets JAX_PLATFORMS to the
+# real TPU backend, but the unit suite must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

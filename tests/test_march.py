@@ -115,8 +115,18 @@ def test_early_termination_snaps_alpha():
     assert np.isclose(out[2, 2, 3], 1.0)
 
 
+def _alpha_ramp_tf():
+    # The reference default TF has alpha == 1 everywhere (RaymarchUtils.cpp:128)
+    # which makes the first empty-space sample opaque black — useless for
+    # testing rgb behavior. Use a ramped-alpha TF so empty space is transparent.
+    return T.tf_from_keypoints(
+        [0.0, 1.0], [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]]
+    )
+
+
 def test_light_volume_modulates_rgb():
-    volume, tf, rays = _scene(img=12)
+    volume, _, rays = _scene(img=12)
+    tf = _alpha_ramp_tf()
     win = jnp.array([0.5, 1.0, 1.0, 1.0])
     bright = M.march_lit(
         volume, tf, jnp.ones((8, 8, 8), jnp.float32), rays, win,
@@ -134,6 +144,51 @@ def test_light_volume_modulates_rgb():
     np.testing.assert_allclose(
         d[..., :3][hit], 0.25 * b[..., :3][hit], rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("block_size", [7, 32])
+def test_blocked_march_matches_scan(block_size):
+    # march_lit_blocked is the TPU-throughput path; semantics must equal the
+    # step-sequential scan march up to float reassociation (cumprod vs
+    # sequential multiply).
+    volume, _, rays = _scene()
+    tf = _alpha_ramp_tf()
+    lv = jnp.full((8, 8, 8), 0.7, jnp.float32)
+    clip = ClipPlane.create([0.5, 0.5, 0.5], [0.0, 0.0, 1.0])
+    win = jnp.array([0.6, 0.5, 1.0, 0.0])
+    jit = jitter_values(24, 24, frame_index=3)
+    kw = dict(jitter=jit, step_count=50)
+    a = np.asarray(
+        M.march_lit(volume, tf, lv, rays, win, clip.center, clip.direction, **kw)
+    )
+    b = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, clip.center, clip.direction,
+            block_size=block_size, **kw,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_blocked_march_early_termination_parity():
+    volume = jnp.ones((8, 8, 8), jnp.float32)
+    tf = T.default_grayscale_tf()
+    lv = jnp.full((4, 4, 4), 0.5, jnp.float32)
+    cam = Camera.look_at([0.0, -2.0, 0.0], [0.0, 0.0, 0.0], fov_degrees=20.0)
+    rays = setup_rays(cam, VolumeTransform.create(), 5, 5)
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    a = np.asarray(
+        M.march_lit(volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+                    step_count=100)
+    )
+    b = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            step_count=100,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+    assert np.isclose(b[2, 2, 3], 1.0)  # early-terminated alpha snaps to 1
 
 
 def test_intensity_march_matches_oracle():
@@ -174,7 +229,14 @@ def test_miss_rays_transparent():
 
 
 def test_compat_final_step_flag_changes_result():
-    volume, tf, rays = _scene(img=8)
+    # The flag only affects the final fractional step of rays that exit the
+    # cube without early termination — so the volume must be non-zero at the
+    # cube boundary and translucent enough that rays run to completion.
+    _, _, rays = _scene(img=8)
+    volume = jnp.full((8, 8, 8), 0.3, jnp.float32)
+    tf = T.tf_from_keypoints(
+        [0.0, 1.0], [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 0.05]]
+    )
     lv = jnp.ones((4, 4, 4), jnp.float32)
     win = jnp.array([0.5, 1.0, 1.0, 1.0])
     a = M.march_lit(volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,

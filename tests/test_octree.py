@@ -48,9 +48,15 @@ def test_load_mip_nearest(rng):
     assert np.isclose(got, float(vol[2, 3, 4]))
 
 
+# Alpha-ramp TF: the reference's default TF has alpha == 1 everywhere
+# (`RaymarchUtils.cpp:128`), which saturates the first empty-space sample to
+# opaque black and hides any mip/occupancy differences in these tests.
+RAMP_TF = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0], [1, 1, 1, 1]])
+
+
 def test_octree_march_mip0_close_to_nearest_render():
     volume = synthetic.sphere_volume((32, 32, 32))
-    tf = T.default_grayscale_tf()
+    tf = RAMP_TF
     oc = O.build_octree(volume)
     cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
     rays = setup_rays(cam, VolumeTransform.create(), 16, 16)
@@ -72,9 +78,8 @@ def test_octree_march_mip0_close_to_nearest_render():
 def test_occupancy_tile_mask():
     vol = jnp.zeros((32, 32, 32), jnp.float32).at[0:8, 0:8, 0:8].set(0.9)
     oc = O.build_octree(vol)
-    tf = T.default_grayscale_tf()
     win = jnp.array([0.5, 1.0, 1.0, 1.0])
-    mask = np.asarray(O.occupancy_tile_mask(oc, win, tf, mip=2))
+    mask = np.asarray(O.occupancy_tile_mask(oc, win, RAMP_TF, mip=2))
     assert mask.shape == (8, 8, 8)
     assert mask[0, 0, 0] and mask[0:2, 0:2, 0:2].any()
     assert not mask[4:, 4:, 4:].any()

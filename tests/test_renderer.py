@@ -129,8 +129,13 @@ def test_clip_plane_affects_render_and_lights():
 def test_jitter_advances_frame_index():
     cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0])
     r = make_renderer(jitter=True)
-    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    # Light traveling +Y lights the camera-facing side of the sphere, so rgb
+    # varies with the jittered sample positions. (A light from behind leaves
+    # the visible face fully self-shadowed — identically black rgb — and the
+    # solid sphere saturates alpha to exactly 1, hiding the jitter.)
+    r.add_light("sun", DirLight.create([0.0, 1.0, 0.0], 1.0))
     a = np.asarray(r.render(cam, 8, 8))
     b = np.asarray(r.render(cam, 8, 8))
+    assert r._frame_index == 2
     # Temporal jitter: consecutive frames differ slightly.
     assert not np.array_equal(a, b)
