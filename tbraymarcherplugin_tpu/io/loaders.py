@@ -206,8 +206,23 @@ class RawLoader(VolumeLoader):
         return np.frombuffer(blob, dtype=info.original_format.dtype).copy()
 
 
+def _dicom_backend():
+    """pydicom when installed (full codec support), else the vendored
+    pure-Python reader (`.minidicom`) — the same ownership move as the
+    reference bundling DCMTK (`VolumeTextureToolkit.Build.cs:38-66`)."""
+    try:
+        import pydicom
+
+        return pydicom
+    except ImportError:
+        from . import minidicom
+
+        return minidicom
+
+
 class DICOMLoader(VolumeLoader):
-    """DICOM folder/series loader on pydicom (`UDCMTKLoader` semantics).
+    """DICOM folder/series loader (`UDCMTKLoader` semantics) on pydicom or
+    the vendored :mod:`.minidicom` backend.
 
     Flags mirror `DCMTKLoader.h:19-47`: slice-thickness read / calculate /
     set + verify with tolerance for irregular spacing.
@@ -223,13 +238,7 @@ class DICOMLoader(VolumeLoader):
         set_slice_thickness: Optional[float] = None,
         thickness_tolerance: float = 0.1,
     ):
-        try:
-            import pydicom  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env without pydicom
-            raise ImportError(
-                "DICOM loading needs pydicom, which is not installed in this "
-                "environment; install it or convert the series to MHD."
-            ) from exc
+        self._dicom = _dicom_backend()
         self.read_slice_thickness = read_slice_thickness
         self.calculate_slice_thickness = calculate_slice_thickness
         self.verify_slice_thickness = verify_slice_thickness
@@ -243,7 +252,7 @@ class DICOMLoader(VolumeLoader):
     def _series_files(self, path: str):
         """All files in the folder sharing the reference file's SeriesInstanceUID
         (`ParseVolumeInfoFromHeader`, `DCMTKLoader.cpp:84-263`)."""
-        import pydicom
+        pydicom = self._dicom
 
         folder = os.path.dirname(path) or "."
         ref = pydicom.dcmread(path, stop_before_pixels=True)
@@ -343,7 +352,7 @@ class DICOMLoader(VolumeLoader):
         return thickness if thickness is not None else 1.0
 
     def load_raw_data(self, path: str, info: VolumeInfo) -> np.ndarray:
-        import pydicom
+        pydicom = self._dicom
 
         if self._multi_frame:
             ds = pydicom.dcmread(path)

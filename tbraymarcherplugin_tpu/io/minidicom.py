@@ -1,0 +1,359 @@
+"""Minimal pure-Python DICOM reader/writer for uncompressed CT series.
+
+The reference bundles DCMTK binaries to own its DICOM dependency
+(`VolumeTextureToolkit.Build.cs:38-66`, codec registration in
+`Private/VolumeTextureToolkit.cpp:24-67`); in the same spirit this module owns
+a small, dependency-free DICOM Part-10 implementation sufficient for the
+loader semantics `UDCMTKLoader` implements (`DCMTKLoader.cpp:84-263,434-544`):
+series-UID grouping, InstanceNumber ordering, pixel spacing, slice thickness,
+bits-allocated/pixel-representation, single- and multi-frame pixel data.
+
+Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
+Explicit VR Little Endian (1.2.840.10008.1.2.1). Compressed syntaxes (JPEG,
+JPEG-LS, RLE — which the reference delegates to DCMTK codecs) raise a clear
+error; convert such series to MHD or install pydicom (which, when present,
+takes precedence in :mod:`.loaders`).
+
+API mirrors the pydicom subset the loader uses: :func:`dcmread` returning a
+:class:`Dataset` with keyword attribute access and ``pixel_array``.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Any, Optional
+
+import numpy as np
+
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+
+# Keyword -> (group, element, VR). Only the attributes the loader stack and
+# the fixture writer need.
+_DICT: dict[str, tuple[int, int, str]] = {
+    "FileMetaInformationGroupLength": (0x0002, 0x0000, "UL"),
+    "MediaStorageSOPClassUID": (0x0002, 0x0002, "UI"),
+    "MediaStorageSOPInstanceUID": (0x0002, 0x0003, "UI"),
+    "TransferSyntaxUID": (0x0002, 0x0010, "UI"),
+    "ImplementationClassUID": (0x0002, 0x0012, "UI"),
+    "SOPClassUID": (0x0008, 0x0016, "UI"),
+    "SOPInstanceUID": (0x0008, 0x0018, "UI"),
+    "Modality": (0x0008, 0x0060, "CS"),
+    "SeriesDescription": (0x0008, 0x103E, "LO"),
+    "PatientName": (0x0010, 0x0010, "PN"),
+    "PatientID": (0x0010, 0x0020, "LO"),
+    "SliceThickness": (0x0018, 0x0050, "DS"),
+    "StudyInstanceUID": (0x0020, 0x000D, "UI"),
+    "SeriesInstanceUID": (0x0020, 0x000E, "UI"),
+    "SeriesNumber": (0x0020, 0x0011, "IS"),
+    "InstanceNumber": (0x0020, 0x0013, "IS"),
+    "ImagePositionPatient": (0x0020, 0x0032, "DS"),
+    "ImageOrientationPatient": (0x0020, 0x0037, "DS"),
+    "SamplesPerPixel": (0x0028, 0x0002, "US"),
+    "PhotometricInterpretation": (0x0028, 0x0004, "CS"),
+    "NumberOfFrames": (0x0028, 0x0008, "IS"),
+    "Rows": (0x0028, 0x0010, "US"),
+    "Columns": (0x0028, 0x0011, "US"),
+    "PixelSpacing": (0x0028, 0x0030, "DS"),
+    "BitsAllocated": (0x0028, 0x0100, "US"),
+    "BitsStored": (0x0028, 0x0101, "US"),
+    "HighBit": (0x0028, 0x0102, "US"),
+    "PixelRepresentation": (0x0028, 0x0103, "US"),
+    "RescaleIntercept": (0x0028, 0x1052, "DS"),
+    "RescaleSlope": (0x0028, 0x1053, "DS"),
+    "WindowCenter": (0x0028, 0x1050, "DS"),
+    "WindowWidth": (0x0028, 0x1051, "DS"),
+    "PixelData": (0x7FE0, 0x0010, "OW"),
+}
+_TAG_TO_KEYWORD = {(g, e): kw for kw, (g, e, _vr) in _DICT.items()}
+_TAG_TO_VR = {(g, e): vr for _kw, (g, e, vr) in _DICT.items()}
+
+_STR_VRS = {"AE", "AS", "CS", "DA", "DT", "LO", "LT", "PN", "SH", "ST", "TM",
+            "UC", "UI", "UR", "UT"}
+_LONG_LEN_VRS = {"OB", "OD", "OF", "OL", "OW", "SQ", "UC", "UN", "UR", "UT"}
+
+
+class Dataset:
+    """Attribute-access DICOM dataset (pydicom-subset compatible)."""
+
+    def __init__(self) -> None:
+        self._elements: dict[tuple[int, int], Any] = {}
+        self._pixel_data: Optional[bytes] = None
+
+    # -- element access ------------------------------------------------------
+
+    def __contains__(self, keyword: str) -> bool:
+        return keyword in _DICT and _DICT[keyword][:2] in self._elements
+
+    def __getattr__(self, keyword: str) -> Any:
+        if keyword.startswith("_"):
+            raise AttributeError(keyword)
+        if keyword in _DICT:
+            tag = _DICT[keyword][:2]
+            if tag in self._elements:
+                return self._elements[tag]
+        raise AttributeError(keyword)
+
+    def __setattr__(self, keyword: str, value: Any) -> None:
+        if keyword.startswith("_"):
+            super().__setattr__(keyword, value)
+        elif keyword in _DICT:
+            self._elements[_DICT[keyword][:2]] = value
+        else:
+            raise AttributeError(f"unknown DICOM keyword {keyword!r}")
+
+    def get(self, keyword: str, default: Any = None) -> Any:
+        return getattr(self, keyword, default)
+
+    def keys(self):
+        return [
+            _TAG_TO_KEYWORD[t] for t in self._elements if t in _TAG_TO_KEYWORD
+        ]
+
+    # -- pixel data ----------------------------------------------------------
+
+    @property
+    def pixel_array(self) -> np.ndarray:
+        """Decode uncompressed PixelData into (frames,)rows x cols.
+
+        Mirrors what the reference gets from `DicomImage`/`getOutputData`
+        (`DCMTKLoader.cpp:392-399`) for uncompressed syntaxes.
+        """
+        if self._pixel_data is None:
+            raise AttributeError("dataset has no PixelData (header-only read?)")
+        bits = int(self.get("BitsAllocated", 16))
+        signed = int(self.get("PixelRepresentation", 0)) == 1
+        dtype = {
+            (8, False): np.uint8, (8, True): np.int8,
+            (16, False): np.uint16, (16, True): np.int16,
+            (32, False): np.uint32, (32, True): np.int32,
+        }.get((bits, signed))
+        if dtype is None:
+            raise ValueError(f"unsupported BitsAllocated={bits}")
+        rows, cols = int(self.Rows), int(self.Columns)
+        frames = int(self.get("NumberOfFrames", 0) or 0)
+        n = rows * cols * max(frames, 1)
+        arr = np.frombuffer(self._pixel_data, dtype=dtype, count=n)
+        if frames > 1:
+            return arr.reshape(frames, rows, cols)
+        return arr.reshape(rows, cols)
+
+
+class InvalidDicomError(ValueError):
+    pass
+
+
+def _parse_value(vr: str, raw: bytes) -> Any:
+    if vr in _STR_VRS:
+        s = raw.decode("ascii", errors="replace").rstrip("\x00 ").strip()
+        if "\\" in s:
+            return [p.strip() for p in s.split("\\")]
+        return s
+    if vr == "DS":
+        s = raw.decode("ascii", errors="replace").strip("\x00 ")
+        parts = [p for p in s.split("\\") if p.strip()]
+        vals = [float(p) for p in parts]
+        return vals if len(vals) != 1 else vals[0]
+    if vr == "IS":
+        s = raw.decode("ascii", errors="replace").strip("\x00 ")
+        parts = [p for p in s.split("\\") if p.strip()]
+        vals = [int(p) for p in parts]
+        return vals if len(vals) != 1 else vals[0]
+    fmt = {"US": "<H", "SS": "<h", "UL": "<I", "SL": "<i",
+           "FL": "<f", "FD": "<d", "AT": "<HH"}.get(vr)
+    if fmt is not None and vr != "AT":
+        size = struct.calcsize(fmt)
+        if len(raw) >= size:
+            vals = [v[0] for v in struct.iter_unpack(fmt, raw[: len(raw) // size * size])]
+            return vals if len(vals) != 1 else vals[0]
+        return None
+    return raw  # OB/OW/UN and anything else: raw bytes
+
+
+def _read_element(buf: bytes, pos: int, explicit: bool):
+    """Returns (tag, vr, value_bytes_or_None_for_SQ, new_pos)."""
+    group, elem = struct.unpack_from("<HH", buf, pos)
+    pos += 4
+    tag = (group, elem)
+    if explicit or group == 0x0002:
+        vr = buf[pos:pos + 2].decode("ascii", errors="replace")
+        pos += 2
+        if vr in _LONG_LEN_VRS:
+            pos += 2  # reserved
+            (length,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+        else:
+            (length,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+    else:
+        vr = _TAG_TO_VR.get(tag, "UN")
+        (length,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+
+    if vr == "SQ" or length == 0xFFFFFFFF:
+        # Skip sequences / undefined-length items: walk items until the
+        # sequence delimitation tag (FFFE,E0DD).
+        depth = 1
+        while depth > 0 and pos < len(buf):
+            g, e = struct.unpack_from("<HH", buf, pos)
+            pos += 4
+            (ln,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            if (g, e) == (0xFFFE, 0xE000):  # item
+                if ln != 0xFFFFFFFF:
+                    pos += ln
+            elif (g, e) == (0xFFFE, 0xE00D):  # item delimiter
+                pass
+            elif (g, e) == (0xFFFE, 0xE0DD):  # sequence delimiter
+                depth -= 1
+            else:  # nested element inside undefined-length item — re-scan
+                pos -= 8
+                _tag, _vr, _val, pos = _read_element(buf, pos, explicit)
+        return tag, vr, None, pos
+
+    value = buf[pos:pos + length]
+    pos += length
+    return tag, vr, value, pos
+
+
+def dcmread(path: str, stop_before_pixels: bool = False) -> Dataset:
+    """Read a DICOM Part-10 file (uncompressed LE syntaxes only)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 132 + 8 or buf[128:132] != b"DICM":
+        raise InvalidDicomError(f"{path}: missing DICM magic")
+    ds = Dataset()
+    pos = 132
+
+    # File meta group (always explicit VR LE).
+    transfer_syntax = EXPLICIT_VR_LE
+    while pos + 8 <= len(buf):
+        group = struct.unpack_from("<H", buf, pos)[0]
+        if group != 0x0002:
+            break
+        tag, vr, raw, pos = _read_element(buf, pos, explicit=True)
+        if raw is not None:
+            val = _parse_value(vr, raw)
+            if tag == _DICT["TransferSyntaxUID"][:2]:
+                transfer_syntax = val
+            ds._elements[tag] = val
+
+    if transfer_syntax not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE):
+        raise InvalidDicomError(
+            f"{path}: compressed/unsupported transfer syntax {transfer_syntax}"
+            " — convert to MHD or install pydicom"
+        )
+    explicit = transfer_syntax == EXPLICIT_VR_LE
+
+    pixel_tag = _DICT["PixelData"][:2]
+    while pos + 8 <= len(buf):
+        tag, vr, raw, pos = _read_element(buf, pos, explicit)
+        if tag == pixel_tag:
+            if not stop_before_pixels and raw is not None:
+                ds._pixel_data = bytes(raw)
+            break
+        if raw is None:
+            continue  # skipped sequence
+        if tag in _TAG_TO_KEYWORD:
+            if not explicit:
+                vr = _TAG_TO_VR[tag]
+            ds._elements[tag] = _parse_value(vr, raw)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Writer — used to build fixtures and to export volumes as DICOM series.
+
+
+def _encode_value(vr: str, value: Any) -> bytes:
+    if vr in _STR_VRS or vr in ("DS", "IS"):
+        if isinstance(value, (list, tuple)):
+            s = "\\".join(_fmt_str(vr, v) for v in value)
+        else:
+            s = _fmt_str(vr, value)
+        raw = s.encode("ascii")
+        if len(raw) % 2:
+            raw += b"\x00" if vr == "UI" else b" "
+        return raw
+    fmt = {"US": "<H", "SS": "<h", "UL": "<I", "SL": "<i",
+           "FL": "<f", "FD": "<d"}.get(vr)
+    if fmt is not None:
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        return b"".join(struct.pack(fmt, v) for v in vals)
+    raw = bytes(value)
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw
+
+
+def _fmt_str(vr: str, v: Any) -> str:
+    if vr == "DS" and isinstance(v, float):
+        return f"{v:.10g}"
+    return str(v)
+
+
+def _encode_element(group: int, elem: int, vr: str, value: Any) -> bytes:
+    raw = _encode_value(vr, value)
+    head = struct.pack("<HH", group, elem)
+    if vr in _LONG_LEN_VRS:
+        return head + vr.encode() + b"\x00\x00" + struct.pack("<I", len(raw)) + raw
+    return head + vr.encode() + struct.pack("<H", len(raw)) + raw
+
+
+def write_dicom(path: str, elements: dict[str, Any],
+                pixel_data: Optional[np.ndarray] = None) -> None:
+    """Write an Explicit-VR-LE Part-10 file from keyword->value elements.
+
+    ``pixel_data`` is a (rows, cols) or (frames, rows, cols) integer array;
+    Rows/Columns/BitsAllocated/PixelRepresentation/NumberOfFrames are derived
+    from it when not given explicitly.
+    """
+    elements = dict(elements)
+    if pixel_data is not None:
+        pixel_data = np.asarray(pixel_data)
+        if pixel_data.ndim == 3:
+            elements.setdefault("NumberOfFrames", pixel_data.shape[0])
+        rows, cols = pixel_data.shape[-2:]
+        elements.setdefault("Rows", rows)
+        elements.setdefault("Columns", cols)
+        elements.setdefault("SamplesPerPixel", 1)
+        elements.setdefault("PhotometricInterpretation", "MONOCHROME2")
+        elements.setdefault("BitsAllocated", pixel_data.dtype.itemsize * 8)
+        elements.setdefault("BitsStored", pixel_data.dtype.itemsize * 8)
+        elements.setdefault("HighBit", pixel_data.dtype.itemsize * 8 - 1)
+        elements.setdefault(
+            "PixelRepresentation", 1 if pixel_data.dtype.kind == "i" else 0
+        )
+
+    meta = [
+        ("MediaStorageSOPClassUID",
+         elements.get("SOPClassUID", "1.2.840.10008.5.1.4.1.1.2")),
+        ("MediaStorageSOPInstanceUID",
+         elements.get("SOPInstanceUID", "1.2.3.4.5")),
+        ("TransferSyntaxUID", EXPLICIT_VR_LE),
+        ("ImplementationClassUID", "1.2.826.0.1.3680043.8.498.1"),
+    ]
+    meta_body = b"".join(
+        _encode_element(*_DICT[kw][:2], _DICT[kw][2], v) for kw, v in meta
+    )
+    out = bytearray(b"\x00" * 128 + b"DICM")
+    out += _encode_element(0x0002, 0x0000, "UL", len(meta_body))
+    out += meta_body
+
+    for kw in sorted(elements, key=lambda k: _DICT[k][:2]):
+        g, e, vr = _DICT[kw]
+        if g == 0x0002 or kw == "PixelData":
+            continue
+        out += _encode_element(g, e, vr, elements[kw])
+
+    if pixel_data is not None:
+        raw = pixel_data.astype(pixel_data.dtype.newbyteorder("<")).tobytes()
+        if len(raw) % 2:
+            raw += b"\x00"
+        out += _encode_element(0x7FE0, 0x0010, "OW", raw)
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(out)
+    os.replace(tmp, path)

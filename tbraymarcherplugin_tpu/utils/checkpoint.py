@@ -2,10 +2,12 @@
 
 The reference's analogue is UE asset persistence + writing current TF /
 windowing back into the asset (`SaveCurrentParamsToVolumeAsset`,
-`RaymarchVolume.cpp:579-594`, noted broken in UE5). Here: orbax when
-available, with a dependency-free ``.npz`` fallback that round-trips any
-pytree of arrays — covering the fit loop's (params, opt_state, step) and
-multi-host fail-fast restarts (SURVEY §5).
+`RaymarchVolume.cpp:579-594`, noted broken in UE5). Here: a dependency-free
+``.npz`` checkpoint manager that round-trips any pytree of arrays — covering
+the fit loop's (params, opt_state, step) and multi-host fail-fast restarts
+(SURVEY §5). Deliberately not orbax: these checkpoints are small (a TF table,
+window scalars, one volume) and synchronous single-host saves keep the format
+inspectable with plain numpy.
 """
 
 from __future__ import annotations

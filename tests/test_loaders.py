@@ -117,16 +117,148 @@ def test_volume_asset_roundtrip(tmp_path, rng):
     assert back.info.default_windowing.center == 0.3
 
 
-def test_dicom_loader_gated():
-    # pydicom is absent in this environment: the loader must fail with a
-    # clear ImportError, not crash at use time.
-    try:
-        import pydicom  # noqa: F401
+# ---------------------------------------------------------------------------
+# DICOM: exercised end-to-end on the vendored minidicom backend
+# (`DCMTKLoader.cpp:84-263,434-544` semantics).
 
-        pytest.skip("pydicom available; gating not applicable")
-    except ImportError:
-        pass
-    from tbraymarcherplugin_tpu.io import DICOMLoader
+from tbraymarcherplugin_tpu.io import DICOMLoader
+from tbraymarcherplugin_tpu.io import minidicom as md
 
-    with pytest.raises(ImportError, match="pydicom"):
-        DICOMLoader()
+
+def _write_ct_series(folder, n_slices, rng, series_uid="1.2.3.100",
+                     thickness=2.5, spacing=(0.7, 0.8), z0=10.0,
+                     shuffle=True, dtype=np.int16, positions=None,
+                     slice_thickness_tag=True, prefix="slice"):
+    """Write single-frame CT slices; returns (paths, stacked zyx data)."""
+    rows, cols = 6, 5
+    data = (rng.random((n_slices, rows, cols)) * 3000 - 1000).astype(dtype)
+    order = list(range(n_slices))
+    if shuffle:
+        rng.shuffle(order)
+    paths = []
+    for file_idx, slice_idx in enumerate(order):
+        z = positions[slice_idx] if positions else z0 + slice_idx * thickness
+        elems = {
+            "SOPInstanceUID": f"1.2.3.200.{slice_idx}",
+            "SeriesInstanceUID": series_uid,
+            "Modality": "CT",
+            "InstanceNumber": slice_idx + 1,
+            "ImagePositionPatient": [0.0, 0.0, z],
+            "PixelSpacing": [spacing[1], spacing[0]],  # row spacing first
+        }
+        if slice_thickness_tag:
+            elems["SliceThickness"] = thickness
+        p = os.path.join(folder, f"{prefix}_{file_idx:03d}.dcm")
+        md.write_dicom(p, elems, pixel_data=data[slice_idx])
+        paths.append(p)
+    return paths, data
+
+
+def test_minidicom_roundtrip(tmp_path, rng):
+    data = (rng.random((4, 3)) * 4000 - 1000).astype(np.int16)
+    p = str(tmp_path / "one.dcm")
+    md.write_dicom(p, {
+        "SeriesInstanceUID": "9.8.7",
+        "InstanceNumber": 7,
+        "SliceThickness": 1.25,
+        "PixelSpacing": [0.5, 0.25],
+        "ImagePositionPatient": [1.0, 2.0, 3.0],
+    }, pixel_data=data)
+    ds = md.dcmread(p)
+    assert ds.SeriesInstanceUID == "9.8.7"
+    assert int(ds.InstanceNumber) == 7
+    assert float(ds.SliceThickness) == 1.25
+    assert [float(v) for v in ds.PixelSpacing] == [0.5, 0.25]
+    assert [float(v) for v in ds.ImagePositionPatient] == [1.0, 2.0, 3.0]
+    assert int(ds.Rows) == 4 and int(ds.Columns) == 3
+    assert int(ds.PixelRepresentation) == 1
+    np.testing.assert_array_equal(ds.pixel_array, data)
+    # Header-only read has metadata but no pixels.
+    hdr = md.dcmread(p, stop_before_pixels=True)
+    assert int(hdr.Rows) == 4
+    with pytest.raises(AttributeError):
+        _ = hdr.pixel_array
+
+
+def test_dicom_series_order_and_values(tmp_path, rng):
+    # Files written in shuffled order must come back sorted by InstanceNumber
+    # (`LoadSingleFrameDICOMFolder`, `DCMTKLoader.cpp:434-544`).
+    paths, data = _write_ct_series(str(tmp_path), 8, rng)
+    loaded = DICOMLoader().load(paths[0], normalize=False)
+    assert loaded.info.dimensions == (5, 6, 8)
+    np.testing.assert_allclose(loaded.data, data.transpose(2, 1, 0))
+    assert loaded.info.spacing == (0.7, 0.8, 2.5)
+    assert loaded.info.min_slice_number == 1
+    assert loaded.info.max_slice_number == 8
+
+
+def test_dicom_series_uid_grouping(tmp_path, rng):
+    # A second series in the same folder must be excluded.
+    paths, data = _write_ct_series(str(tmp_path), 5, rng, series_uid="1.1")
+    sub = np.random.default_rng(1)
+    _write_ct_series(str(tmp_path), 3, sub, series_uid="2.2", z0=99.0,
+                     prefix="other")
+    loaded = DICOMLoader().load(paths[0], normalize=False)
+    assert loaded.info.dimensions[2] == 5
+    np.testing.assert_allclose(loaded.data, data.transpose(2, 1, 0))
+
+
+def test_dicom_thickness_calculated(tmp_path, rng):
+    # No SliceThickness tag: thickness comes from ImagePositionPatient gaps
+    # (`DCMTKLoader.cpp:502-541` calculate path).
+    paths, _ = _write_ct_series(
+        str(tmp_path), 6, rng, thickness=3.0, slice_thickness_tag=False
+    )
+    loaded = DICOMLoader().load(paths[0], normalize=False)
+    assert loaded.info.spacing[2] == 3.0
+
+
+def test_dicom_irregular_thickness_verify(tmp_path, rng):
+    positions = [0.0, 2.0, 4.0, 9.0]  # irregular gap
+    paths, _ = _write_ct_series(
+        str(tmp_path), 4, rng, positions=positions, slice_thickness_tag=False
+    )
+    with pytest.raises(ValueError, match="irregular"):
+        DICOMLoader().load(paths[0])
+    # Tolerated when the flag says so (DCMTKLoader.h ignore-irregular flag).
+    loaded = DICOMLoader(ignore_irregular_thickness=True).load(
+        paths[0], normalize=False
+    )
+    assert loaded.info.dimensions[2] == 4
+
+
+def test_dicom_set_overrides(tmp_path, rng):
+    paths, _ = _write_ct_series(str(tmp_path), 4, rng)
+    loaded = DICOMLoader(
+        set_pixel_spacing=(1.5, 2.5), set_slice_thickness=9.0
+    ).load(paths[0], normalize=False)
+    assert loaded.info.spacing == (1.5, 2.5, 9.0)
+
+
+def test_dicom_multiframe(tmp_path, rng):
+    data = (rng.random((7, 4, 3)) * 1000).astype(np.uint16)
+    p = str(tmp_path / "multi.dcm")
+    md.write_dicom(p, {
+        "SeriesInstanceUID": "3.3",
+        "InstanceNumber": 1,
+        "SliceThickness": 1.0,
+        "PixelSpacing": [1.0, 1.0],
+    }, pixel_data=data)
+    loaded = DICOMLoader().load(p, normalize=False)
+    assert loaded.info.dimensions == (3, 4, 7)
+    np.testing.assert_allclose(loaded.data, data.transpose(2, 1, 0))
+
+
+def test_dicom_normalized_windowing(tmp_path, rng):
+    paths, data = _write_ct_series(str(tmp_path), 4, rng)
+    loaded = DICOMLoader().load(paths[0], normalize=True)
+    assert loaded.info.is_normalized
+    assert loaded.data.min() >= 0.0 and loaded.data.max() <= 1.0
+    rec = loaded.info.denormalize_value(loaded.data)
+    np.testing.assert_allclose(rec, data.transpose(2, 1, 0), atol=0.01)
+
+
+def test_dicom_extension_dispatch(tmp_path, rng):
+    paths, _ = _write_ct_series(str(tmp_path), 3, rng)
+    loaded = load_volume(paths[0])
+    assert loaded.info.dimensions[2] == 3
