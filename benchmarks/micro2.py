@@ -55,6 +55,12 @@ def main():
         _bench_ds(key)
     if "onehot" in which:
         _bench_onehot(key)
+    if "rowgather" in which:
+        _bench_rowgather(key)
+    if "warp" in which:
+        _bench_warp(key)
+    if "banded" in which:
+        _bench_banded(key)
 
 
 def _bench_ew(key):
@@ -90,7 +96,7 @@ def _bench_mm(key):
             return c[0, 0]
         return fn
 
-    dt = chain_time(make_mm)
+    dt = chain_time(make_mm, n_hi=16)
     print(f"matmul 4096^3 bf16: {dt*1e3:.4f} ms/iter -> "
           f"{2*4096**3/dt/1e12:.1f} TFLOP/s", flush=True)
 
@@ -184,6 +190,87 @@ def _bench_onehot(key):
     print(f"one-hot matmul lookup {npos/1e6:.0f}M from (256,4): "
           f"{dt*1e3:.4f} ms/iter -> {npos/dt/1e9:.3f} G lookups/s", flush=True)
 
+
+
+
+def _bench_rowgather(key):
+    # --- row gather: take full (128,) lanes rows from a 2D table
+    table = jax.random.normal(key, (65536, 128))
+    n_rows = 131072
+    idx = jax.random.randint(key, (n_rows,), 0, 65536)
+
+    def make(n):
+        def fn(seed):
+            def body(c, _):
+                i = (idx + c.astype(jnp.int32)) % 65536
+                v = jnp.take(table, i, axis=0)
+                return v.max(), None
+            c, _ = jax.lax.scan(body, seed, None, length=n)
+            return c
+        return fn
+
+    dt = chain_time(make, n_hi=16)
+    print(f"row gather {n_rows} rows x128 from (65536,128): "
+          f"{dt*1e3:.4f} ms/iter -> {n_rows*128*4/dt/1e9:.1f} GB/s "
+          f"({n_rows/dt/1e6:.1f} M rows/s)", flush=True)
+
+
+def _bench_warp(key):
+    # --- full-image bilinear warp via scalar takes (2M px, 4 corners)
+    img = jax.random.normal(key, (1024, 1024))
+    h, w = 1080, 1920
+    yy = jnp.linspace(10.0, 1000.0, h)[:, None] + jnp.zeros((1, w))
+    xx = jnp.linspace(10.0, 1000.0, w)[None, :] + jnp.zeros((h, 1))
+    yy = yy + 3.0 * jnp.sin(xx * 0.01)
+
+    def make(n):
+        def fn(seed):
+            def body(c, _):
+                y = yy + c * 1e-6
+                x = xx
+                y0 = jnp.floor(y).astype(jnp.int32)
+                x0 = jnp.floor(x).astype(jnp.int32)
+                fy, fx = y - y0, x - x0
+                flat = img.reshape(-1)
+
+                def g(dy, dx):
+                    lin = (y0 + dy) * 1024 + (x0 + dx)
+                    return jnp.take(flat, lin.reshape(-1), axis=0).reshape(h, w)
+
+                v = ((g(0, 0) * (1 - fy) + g(1, 0) * fy) * (1 - fx)
+                     + (g(0, 1) * (1 - fy) + g(1, 1) * fy) * fx)
+                return v.max(), None
+            c, _ = jax.lax.scan(body, seed, None, length=n)
+            return c
+        return fn
+
+    dt = chain_time(make, n_hi=8)
+    print(f"bilinear warp 1080p from 1024^2: {dt*1e3:.4f} ms/iter "
+          f"({h*w/dt/1e6:.1f} M px/s)", flush=True)
+
+
+def _bench_banded(key):
+    # --- banded-resample matmul: (512,256)@(256,256)@(256,512) per slice
+    s = jax.random.normal(key, (256, 256), jnp.bfloat16)
+    wx = jax.random.normal(key, (512, 256), jnp.bfloat16)
+    wy = jax.random.normal(key, (256, 512), jnp.bfloat16)
+
+    def make(n):
+        def fn(seed):
+            def body(c, _):
+                out = jnp.dot(jnp.dot(wx, c, preferred_element_type=jnp.float32
+                                      ).astype(jnp.bfloat16), wy,
+                              preferred_element_type=jnp.float32)
+                return (out[:256, :256] * 1e-3).astype(jnp.bfloat16), None
+            c, _ = jax.lax.scan(body, s * seed.astype(jnp.bfloat16), None,
+                                length=n)
+            return c[0, 0]
+        return fn
+
+    dt = chain_time(make, n_hi=64)
+    flops = 2 * (512 * 256 * 256 + 256 * 512 * 256)
+    print(f"slice resample 2x matmul (512,256,256): {dt*1e3:.4f} ms/iter -> "
+          f"{flops/dt/1e12:.1f} TFLOP/s", flush=True)
 
 if __name__ == "__main__":
     main()

@@ -43,6 +43,11 @@ class DirLight:
     direction: jax.Array  # (3,) need not be normalized
     intensity: jax.Array | float = 1.0
 
+    def __post_init__(self):
+        # Accept plain tuples/lists at the public API boundary.
+        self.direction = _as_f32(self.direction)
+        self.intensity = _as_f32(self.intensity)
+
     @staticmethod
     def create(direction, intensity=1.0) -> "DirLight":
         return DirLight(_as_f32(direction), _as_f32(intensity))
@@ -60,6 +65,10 @@ class ClipPlane:
 
     center: jax.Array  # (3,)
     direction: jax.Array  # (3,)
+
+    def __post_init__(self):
+        self.center = _as_f32(self.center)
+        self.direction = _as_f32(self.direction)
 
     @staticmethod
     def create(center, direction) -> "ClipPlane":
