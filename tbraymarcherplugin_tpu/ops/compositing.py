@@ -27,6 +27,21 @@ def accumulate(energy: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rgb, a], axis=-1)
 
 
+def compose_segments(front: jnp.ndarray, back: jnp.ndarray) -> jnp.ndarray:
+    """Compose two already-accumulated RGBA segments front-to-back.
+
+    Unlike :func:`accumulate` (whose sample rgb is NOT premultiplied and gets
+    weighted by its own alpha), an accumulated segment's rgb already carries
+    all per-sample alpha factors, so the over operator is
+    ``rgb = F.rgb + (1-F.a) * B.rgb``. This is the associative operator that
+    makes per-slab segment rendering exact (`parallel/slab_sharding.py`).
+    """
+    trans = 1.0 - front[..., 3:4]
+    rgb = front[..., :3] + back[..., :3] * trans
+    a = front[..., 3:4] + back[..., 3:4] * trans
+    return jnp.concatenate([rgb, a], axis=-1)
+
+
 def accumulate_masked(energy, sample, active_mask) -> jnp.ndarray:
     """Composite only where ``active_mask`` holds (early-termination/clip mask).
 

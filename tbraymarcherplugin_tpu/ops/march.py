@@ -181,6 +181,17 @@ def march_lit(
     return energy
 
 
+def _occ_lookup(occ_grid, occ_scale, pos):
+    """Nearest-cell occupancy fetch: cell = floor(pos * scale), clamped."""
+    gx, gy, gz = occ_grid.shape
+    sc = jnp.asarray(occ_scale, jnp.float32)
+    idx = jnp.floor(pos * sc).astype(jnp.int32)
+    ix = jnp.clip(idx[..., 0], 0, gx - 1)
+    iy = jnp.clip(idx[..., 1], 0, gy - 1)
+    iz = jnp.clip(idx[..., 2], 0, gz - 1)
+    return jnp.take(occ_grid.reshape(-1), (ix * gy + iy) * gz + iz, axis=0)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -188,6 +199,8 @@ def march_lit(
         "early_termination",
         "block_size",
         "compat_final_step",
+        "occ_scale",
+        "skip_blocks",
     ),
 )
 def march_lit_blocked(
@@ -203,6 +216,9 @@ def march_lit_blocked(
     early_termination: float = EARLY_TERMINATION_ALPHA,
     block_size: int = 32,
     compat_final_step: bool = True,
+    occ_grid: jnp.ndarray | None = None,
+    occ_scale: tuple | None = None,
+    skip_blocks: bool = False,
 ) -> jnp.ndarray:
     """Block-parallel lit march — the TPU-throughput path.
 
@@ -226,6 +242,18 @@ def march_lit_blocked(
     The outer carry (rgb, alpha, terminated) runs over only
     ``ceil(n_steps / block_size)`` scan iterations, each wrapped in
     `jax.checkpoint` so backward memory stays O(n_blocks).
+
+    Empty-space skipping (``skip_blocks=True``): each block is wrapped in a
+    `lax.cond` that skips ALL its volume/light/TF gathers when (a) every ray
+    in the batch has already terminated, or (b) ``occ_grid`` is given (from
+    :func:`..octree.occupancy_grid`) and every in-range sample of the block
+    lands in an unoccupied cell. Both predicates are exact for the forward
+    image: skipped samples have windowed-TF alpha == 0 so they change nothing
+    (the reference instead marches a min/max pyramid per ray,
+    `GenerateOctreeShader.usf:28-107` — divergence-hostile on TPU).
+    INFERENCE-PATH ONLY when differentiating w.r.t. the TF table or window:
+    zero-alpha samples still carry nonzero d(image)/d(tf) at the texel level,
+    and a skipped block contributes exact zeros for those cotangents.
     """
     pos0, step_vec, n_full, final_frac, step_size = _march_state(
         rays, step_count, jitter
@@ -237,48 +265,59 @@ def march_lit_blocked(
     bshape = (block_size,) + (1,) * len(ray_shape)
 
     def block(carry, b):
-        rgb_acc, alpha_acc, terminated = carry
         ks = (b * block_size + jnp.arange(block_size)).astype(jnp.float32)
         ks = ks.reshape(bshape)
         # Sample position of step i is pos0 + (i+1) * step_vec (march_lit
         # advances before sampling); steps with i >= n_full never contribute.
         pos = pos0[None] + step_vec[None] * (ks + 1.0)[..., None]
         in_range = ks < n_full[None]
-        clipped = is_clipped(pos, clip_center, clip_direction)
-        m = in_range & ~clipped
-        rgba = sample_windowed_transfer_function(
-            trilinear_sample(volume, pos), step_world, tf_table, windowing_vec4
-        )
-        light = trilinear_sample(light_volume, jnp.clip(pos, 0.0, 1.0))
-        a = jnp.where(m, rgba[..., 3], 0.0)
-        rgb = jnp.where(m[..., None], rgba[..., :3] * light[..., None], 0.0)
 
-        one_minus_a = 1.0 - a
-        t_incl = jnp.cumprod(one_minus_a, axis=0)  # prod_{j<=k} (1-a_j)
-        t_excl = jnp.concatenate(
-            [jnp.ones_like(t_incl[:1]), t_incl[:-1]], axis=0
-        )
-        # Accumulated alpha after each step, given alpha_acc at block entry.
-        alpha_after = alpha_acc[None] + (1.0 - alpha_acc[None]) * (1.0 - t_incl)
-        crossed = m & (alpha_after > early_termination)
-        any_crossed = jnp.any(crossed, axis=0)
-        # First crossing step: its own sample still contributes (the reference
-        # composites, then checks), later steps do not.
-        kc = jnp.argmax(crossed, axis=0)
-        step_ids = jnp.arange(block_size).reshape(bshape)
-        contrib = jnp.where(any_crossed[None], step_ids <= kc[None], True)
-        contrib = contrib & ~terminated[None]
+        def do(carry):
+            rgb_acc, alpha_acc, terminated = carry
+            clipped = is_clipped(pos, clip_center, clip_direction)
+            m = in_range & ~clipped
+            rgba = sample_windowed_transfer_function(
+                trilinear_sample(volume, pos), step_world, tf_table, windowing_vec4
+            )
+            light = trilinear_sample(light_volume, jnp.clip(pos, 0.0, 1.0))
+            a = jnp.where(m, rgba[..., 3], 0.0)
+            rgb = jnp.where(m[..., None], rgba[..., :3] * light[..., None], 0.0)
 
-        w = jnp.where(contrib, t_excl * a, 0.0)
-        rgb_out = rgb_acc + (1.0 - alpha_acc)[..., None] * jnp.sum(
-            w[..., None] * rgb, axis=0
-        )
-        alpha_noterm = alpha_acc + (1.0 - alpha_acc) * (1.0 - t_incl[-1])
-        newly = any_crossed & ~terminated
-        alpha_out = jnp.where(
-            newly, 1.0, jnp.where(terminated, alpha_acc, alpha_noterm)
-        )
-        return (rgb_out, alpha_out, terminated | any_crossed), None
+            one_minus_a = 1.0 - a
+            t_incl = jnp.cumprod(one_minus_a, axis=0)  # prod_{j<=k} (1-a_j)
+            t_excl = jnp.concatenate(
+                [jnp.ones_like(t_incl[:1]), t_incl[:-1]], axis=0
+            )
+            # Accumulated alpha after each step, given alpha_acc at block entry.
+            alpha_after = alpha_acc[None] + (1.0 - alpha_acc[None]) * (1.0 - t_incl)
+            crossed = m & (alpha_after > early_termination)
+            any_crossed = jnp.any(crossed, axis=0)
+            # First crossing step: its own sample still contributes (the
+            # reference composites, then checks), later steps do not.
+            kc = jnp.argmax(crossed, axis=0)
+            step_ids = jnp.arange(block_size).reshape(bshape)
+            contrib = jnp.where(any_crossed[None], step_ids <= kc[None], True)
+            contrib = contrib & ~terminated[None]
+
+            w = jnp.where(contrib, t_excl * a, 0.0)
+            rgb_out = rgb_acc + (1.0 - alpha_acc)[..., None] * jnp.sum(
+                w[..., None] * rgb, axis=0
+            )
+            alpha_noterm = alpha_acc + (1.0 - alpha_acc) * (1.0 - t_incl[-1])
+            newly = any_crossed & ~terminated
+            alpha_out = jnp.where(
+                newly, 1.0, jnp.where(terminated, alpha_acc, alpha_noterm)
+            )
+            return (rgb_out, alpha_out, terminated | any_crossed)
+
+        if skip_blocks:
+            run = ~jnp.all(carry[2])
+            if occ_grid is not None:
+                run = run & jnp.any(in_range & _occ_lookup(occ_grid, occ_scale, pos))
+            carry = jax.lax.cond(run, do, lambda c: c, carry)
+        else:
+            carry = do(carry)
+        return carry, None
 
     init = (
         jnp.zeros(ray_shape + (3,), jnp.float32),
@@ -320,6 +359,9 @@ def march_lit_blocked(
         "block_size",
         "tile_size",
         "compat_final_step",
+        "occ_scale",
+        "skip_blocks",
+        "tile2d",
     ),
 )
 def march_lit_tiled(
@@ -336,6 +378,10 @@ def march_lit_tiled(
     block_size: int = 32,
     tile_size: int = DEFAULT_TILE_SIZE,
     compat_final_step: bool = True,
+    occ_grid: jnp.ndarray | None = None,
+    occ_scale: tuple | None = None,
+    skip_blocks: bool = False,
+    tile2d: tuple | None = None,
 ) -> jnp.ndarray:
     """Ray-tiled block-parallel march: bounded memory at any image size.
 
@@ -346,7 +392,24 @@ def march_lit_tiled(
     O(tile_size * block_size) while each tile still issues multi-million-
     element gathers that saturate HBM. Results are bit-identical to
     :func:`march_lit_blocked` per ray.
+
+    ``skip_blocks``/``occ_grid``/``occ_scale`` enable per-tile empty-space
+    skipping and saturated-tile skipping (see :func:`march_lit_blocked`);
+    because `lax.map` runs tiles as a sequential scan, each tile's `lax.cond`
+    predicates stay scalars and skipped blocks really skip their gathers.
+
+    ``tile2d=(th, tw)`` (2D ray batches only) makes tiles spatially coherent
+    th x tw image rectangles instead of scanline runs — essential for
+    skipping, since a tile's block is skipped only when EVERY ray in it is in
+    empty space. Per-ray results are unchanged (pure reordering).
     """
+    if tile2d is not None and len(rays.thickness.shape) == 2:
+        return _march_lit_tiled2d(
+            volume, tf_table, light_volume, rays, windowing_vec4,
+            clip_center, clip_direction, jitter, step_count,
+            early_termination, block_size, compat_final_step,
+            occ_grid, occ_scale, skip_blocks, tile2d,
+        )
     ray_shape = rays.thickness.shape
     n = int(np.prod(ray_shape)) if ray_shape else 1
     entry = rays.entry.reshape(n, 3)
@@ -384,6 +447,9 @@ def march_lit_tiled(
             early_termination=early_termination,
             block_size=block_size,
             compat_final_step=compat_final_step,
+            occ_grid=occ_grid,
+            occ_scale=occ_scale,
+            skip_blocks=skip_blocks,
         )
 
     tiles = (
@@ -395,6 +461,59 @@ def march_lit_tiled(
         tiles = tiles + (jit_flat.reshape(n_tiles, tile_size),)
     out = jax.lax.map(tile_fn, tiles)
     return out.reshape(n_tiles * tile_size, 4)[:n].reshape(ray_shape + (4,))
+
+
+def _march_lit_tiled2d(
+    volume, tf_table, light_volume, rays, windowing_vec4,
+    clip_center, clip_direction, jitter, step_count,
+    early_termination, block_size, compat_final_step,
+    occ_grid, occ_scale, skip_blocks, tile2d,
+):
+    """march_lit_tiled with spatially-coherent th x tw image tiles."""
+    th, tw = tile2d
+    h, w = rays.thickness.shape
+    hp, wp = -(-h // th) * th, -(-w // tw) * tw
+    nth, ntw = hp // th, wp // tw
+
+    def to_tiles(x, cval=0.0):
+        trailing = x.shape[2:]
+        x = jnp.pad(
+            x,
+            ((0, hp - h), (0, wp - w)) + ((0, 0),) * len(trailing),
+            constant_values=cval,
+        )
+        x = x.reshape((nth, th, ntw, tw) + trailing)
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape((nth * ntw, th * tw) + trailing)
+
+    tiles = (
+        to_tiles(rays.entry),
+        to_tiles(rays.direction, 1.0),
+        to_tiles(rays.thickness),  # zero thickness: padded no-op rays
+    )
+    if jitter is not None:
+        tiles = tiles + (to_tiles(jitter),)
+
+    def tile_fn(args):
+        if jitter is None:
+            e, d, t = args
+            j = None
+        else:
+            e, d, t, j = args
+        return march_lit_blocked(
+            volume, tf_table, light_volume,
+            RayBatch(entry=e, direction=d, thickness=t),
+            windowing_vec4, clip_center, clip_direction,
+            jitter=j, step_count=step_count,
+            early_termination=early_termination, block_size=block_size,
+            compat_final_step=compat_final_step,
+            occ_grid=occ_grid, occ_scale=occ_scale, skip_blocks=skip_blocks,
+        )
+
+    out = jax.lax.map(tile_fn, tiles)  # (n_tiles, th*tw, 4)
+    out = out.reshape(nth, ntw, th, tw, 4)
+    out = jnp.moveaxis(out, 1, 2).reshape(hp, wp, 4)
+    return out[:h, :w]
 
 
 @partial(jax.jit, static_argnames=("step_count",))

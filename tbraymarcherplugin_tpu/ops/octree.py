@@ -38,26 +38,32 @@ class Octree(NamedTuple):
 
     ``mips[0]`` has the padded shape; ``mips[i]`` halves each dim.
     ``data_dims`` keeps the unpadded volume dims for the Z-rescale at
-    `WindowedRaymarchMaterials.usf:151`.
+    `WindowedRaymarchMaterials.usf:151`. ``min_mips`` is the matching
+    min-value pyramid (not in the reference — it exists so empty-space
+    skipping can bound each tile's *value range*, which is what makes the
+    occupancy test exact for arbitrary, non-monotone transfer functions).
     """
 
     mips: tuple[jnp.ndarray, ...]
     data_dims: tuple[int, int, int]
+    min_mips: tuple[jnp.ndarray, ...] = ()
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-@partial(jax.jit, static_argnames=("num_mips",))
-def _build_mips(padded, num_mips: int):
+@partial(jax.jit, static_argnames=("num_mips", "op_name"))
+def _build_mips(padded, num_mips: int, op_name: str = "max"):
+    op = jax.lax.max if op_name == "max" else jax.lax.min
+    init = -jnp.inf if op_name == "max" else jnp.inf
     mips = [padded]
     for _ in range(num_mips - 1):
         mips.append(
             jax.lax.reduce_window(
                 mips[-1],
-                -jnp.inf,
-                jax.lax.max,
+                init,
+                op,
                 window_dimensions=(2, 2, 2),
                 window_strides=(2, 2, 2),
                 padding="VALID",
@@ -72,13 +78,18 @@ def build_octree(volume: jnp.ndarray, max_value: float = 1.0,
 
     Mip 0 is the volume scaled by ``max_value`` (`usf:45` multiplies by
     ``MinMaxValues.y``), zero-padded to pow2 dims; subsequent mips are 2×2×2
-    max reductions.
+    max reductions. A min pyramid is built alongside (pad value 0, which can
+    only widen boundary-tile ranges — conservative for occupancy).
     """
     dims = volume.shape
     padded_dims = tuple(_next_pow2(d) for d in dims)
     padded = jnp.zeros(padded_dims, volume.dtype)
     padded = padded.at[: dims[0], : dims[1], : dims[2]].set(volume * max_value)
-    return Octree(mips=_build_mips(padded, num_mips), data_dims=tuple(dims))
+    return Octree(
+        mips=_build_mips(padded, num_mips, "max"),
+        data_dims=tuple(dims),
+        min_mips=_build_mips(padded, num_mips, "min"),
+    )
 
 
 def load_mip_nearest(mip: jnp.ndarray, voxel_pos: jnp.ndarray) -> jnp.ndarray:
@@ -162,25 +173,102 @@ def march_octree(
     return energy
 
 
-def occupancy_tile_mask(
+class OccupancyGrid(NamedTuple):
+    """Conservative empty-space-skipping structure for the march.
+
+    ``grid[c]`` is True iff SOME sample whose position falls in coarse cell
+    ``c`` could have nonzero windowed-TF alpha. ``cell_scale`` maps a UVW
+    position to a cell index: ``cell = floor(uvw * cell_scale)`` (then clamp).
+    The guarantee is one-sided and exact: if ``grid[cell(pos)]`` is False,
+    ``sample_windowed_transfer_function(trilinear_sample(volume, pos), ...)``
+    has alpha exactly 0, so skipping the sample cannot change the image.
+    """
+
+    grid: jnp.ndarray  # (GX, GY, GZ) bool
+    cell_scale: tuple[float, float, float]
+
+
+def _dilate3(x: jnp.ndarray, op, init) -> jnp.ndarray:
+    """3x3x3 neighborhood reduce with SAME padding (edge cells widened)."""
+    return jax.lax.reduce_window(
+        x, init, op,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+
+
+def occupancy_grid(
     octree: Octree,
     windowing_vec4: jnp.ndarray,
     tf_table: jnp.ndarray,
     mip: int = NUM_MIPS - 1,
-) -> jnp.ndarray:
-    """Boolean grid marking mip tiles with any nonzero windowed TF opacity.
+) -> OccupancyGrid:
+    """Exact-conservative occupancy test per coarse cell (SURVEY §7.8).
 
-    The TPU-idiomatic use of the pyramid (SURVEY §7.8): rather than per-step
-    mip queries inside the march (divergence-hostile), the renderer gates
-    whole ray *tiles* on whether they intersect any occupied region.
+    The reference renders from the max pyramid inside the march
+    (`GenerateOctreeShader.usf:28-107` + `PerformWindowedRaymarchOctree`);
+    per-step mip queries are divergence-hostile on TPU, so instead the march
+    skips whole *step blocks* whose samples all land in unoccupied cells
+    (see :func:`..march.march_lit_blocked`'s ``occ`` argument).
+
+    Exactness for arbitrary (non-monotone) transfer functions comes from an
+    interval argument, not probing:
+
+    - each cell's voxel value range [mn, mx] comes from the min/max pyramids,
+      dilated over the 3^3 cell neighborhood — a trilinear footprint reaches
+      at most 1 voxel past the cell a sample position falls in, and a cell is
+      >= 2 voxels wide at any mip >= 1;
+    - trilinear interpolation is a convex combination, so every sampled value
+      lies in [mn, mx];
+    - windowing is affine in the value, so the TF-position interval is
+      [(mn-c+w/2)/w, (mx-c+w/2)/w], cutoffs clip it, and the cell is occupied
+      iff any TF texel with alpha > 0 is touched by linear interpolation over
+      that interval (a prefix-sum query on the nonzero-alpha texels).
+
+    The octree must be built with ``max_value=1.0`` (values in the same
+    normalized domain the march samples). Requires ``octree.min_mips``.
     """
-    vals = octree.mips[mip]
-    # A tile's max value bounds every contained voxel; windowing is monotone
-    # in the value, so evaluate opacity at the max and at 0 (TF need not be
-    # monotone — conservatively also check a dense midpoint sweep).
-    probes = jnp.linspace(0.0, 1.0, 9, dtype=jnp.float32)
-    probe_vals = vals[..., None] * probes
-    alpha = sample_windowed_transfer_function(
-        probe_vals, 1.0, tf_table, windowing_vec4
-    )[..., 3]
-    return jnp.any(alpha > 0.0, axis=-1)
+    if not octree.min_mips:
+        raise ValueError("occupancy_grid needs an Octree built with min_mips")
+    if mip < 1:
+        raise ValueError("mip must be >= 1 so cells are wider than the "
+                         "trilinear footprint after 3^3 dilation")
+    mn = _dilate3(octree.min_mips[mip], jax.lax.min, jnp.inf)
+    mx = _dilate3(octree.mips[mip], jax.lax.max, -jnp.inf)
+
+    center, width = windowing_vec4[0], windowing_vec4[1]
+    low_c, high_c = windowing_vec4[2], windowing_vec4[3]
+    plo = (mn - center + 0.5 * width) / width
+    phi = (mx - center + 0.5 * width) / width
+    # width < 0 flips the interval; normalize so plo <= phi.
+    plo, phi = jnp.minimum(plo, phi), jnp.maximum(plo, phi)
+    # Cutoffs zero out samples outside [0, 1] (`WindowedSampling.usf:26-31`).
+    plo_eff = jnp.where(low_c > 0.0, jnp.maximum(plo, 0.0), plo)
+    phi_eff = jnp.where(high_c > 0.0, jnp.minimum(phi, 1.0), phi)
+    fully_cut = plo_eff > phi_eff
+
+    # TF texels touched by clamp-addressed lerp over [plo_eff, phi_eff]
+    # (`sample_tf`: x = p*R - 0.5, texels floor(x) and floor(x)+1).
+    res = tf_table.shape[0]
+    xlo = plo_eff * res - 0.5
+    xhi = phi_eff * res - 0.5
+    ilo = jnp.clip(jnp.floor(xlo), 0, res - 1).astype(jnp.int32)
+    ihi = jnp.clip(jnp.floor(xhi) + 1.0, 0, res - 1).astype(jnp.int32)
+    nz = (tf_table[:, 3] > 0.0).astype(jnp.int32)
+    csum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nz)])
+    any_nz = (csum[ihi + 1] - csum[ilo]) > 0
+
+    occ = any_nz & ~fully_cut
+    # Degenerate window (width == 0) divides by zero: everything occupied.
+    occ = occ | ~jnp.isfinite(plo) | ~jnp.isfinite(phi)
+
+    # Drop cells that only cover pow2 padding: out-of-range positions clamp
+    # onto edge *data* voxels, so the march clamps cell indices to the data
+    # cells and padding-only cells must not exist (their range is [0, 0],
+    # which could wrongly read as empty for a clamped edge sample).
+    cell = 1 << mip
+    n_cells = tuple(-(-d // cell) for d in octree.data_dims)
+    occ = occ[: n_cells[0], : n_cells[1], : n_cells[2]]
+    scale = tuple(d / float(cell) for d in octree.data_dims)
+    return OccupancyGrid(grid=occ, cell_scale=scale)

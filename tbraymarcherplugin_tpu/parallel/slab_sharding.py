@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.pipeline import LightPlan, RenderParams, _windowing_vec4
 from ..ops import lighting as L
 from ..ops import march as M
-from ..ops.compositing import accumulate
+from ..ops.compositing import accumulate, compose_segments
 from ..ops.rays import RayBatch
 from ..ops.sampling import (
     VOLUME_DENSITY,
@@ -228,7 +228,7 @@ def march_lit_slab_sharded(
             seg_i = jnp.where(
                 fwd[..., None], segs[idx_fwd], segs[idx_bwd]
             )
-            energy = accumulate(energy, seg_i)
+            energy = compose_segments(energy, seg_i)
         return energy
 
     out = run(volume, tf_table, light_volume, flat)

@@ -16,8 +16,23 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The env var alone is NOT enough: this image's sitecustomize registers an
+# experimental TPU PJRT plugin at interpreter start and its register() call
+# does jax.config.update("jax_platforms", "axon,cpu"), which takes precedence
+# over JAX_PLATFORMS. Without the explicit config update below, the "CPU"
+# suite silently compiles over the TPU tunnel (slow, single-device).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (excluded from the fast tier)"
+    )
 
 
 @pytest.fixture(scope="session")

@@ -228,6 +228,100 @@ def test_miss_rays_transparent():
     np.testing.assert_allclose(out, 0.0, atol=1e-7)
 
 
+def _ess_scene(rng):
+    """Sparse scene (one dense blob) for empty-space-skipping tests."""
+    vol = np.zeros((33, 32, 30), np.float32)  # non-pow2: padding cells exist
+    vol[4:12, 4:12, 4:12] = rng.random((8, 8, 8), dtype=np.float32)
+    volume = jnp.asarray(vol)
+    tf = _alpha_ramp_tf()
+    cam = Camera.look_at([0.0, -2.5, 0.3], [0.0, 0.0, 0.0], fov_degrees=35.0)
+    rays = setup_rays(cam, VolumeTransform.create(), 24, 24)
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    return volume, tf, rays, win
+
+
+def test_skip_blocks_exact_vs_ungated(rng):
+    from tbraymarcherplugin_tpu.ops import octree as O
+
+    volume, tf, rays, win = _ess_scene(rng)
+    lv = jnp.full((8, 8, 8), 0.7, jnp.float32)
+    oc = O.build_octree(volume)
+    og = O.occupancy_grid(oc, win, tf, mip=2)
+    kw = dict(step_count=50, block_size=16)
+    a = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction, **kw
+        )
+    )
+    b = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            occ_grid=og.grid, occ_scale=og.cell_scale, skip_blocks=True, **kw,
+        )
+    )
+    # Exactness: skipped samples have windowed-TF alpha == 0 by construction
+    # (tolerance is for TPU/fusion reassociation only; on CPU this is ulp).
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    assert a[..., 3].max() > 0.1  # the blob renders
+
+
+def test_skip_blocks_saturated_early_exit():
+    # Fully opaque volume: all rays terminate in the first blocks and the
+    # all-terminated predicate must not change the image.
+    volume = jnp.ones((8, 8, 8), jnp.float32)
+    tf = T.default_grayscale_tf()
+    lv = jnp.full((4, 4, 4), 0.5, jnp.float32)
+    cam = Camera.look_at([0.0, -2.0, 0.0], [0.0, 0.0, 0.0], fov_degrees=20.0)
+    rays = setup_rays(cam, VolumeTransform.create(), 5, 5)
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    a = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            step_count=100,
+        )
+    )
+    b = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            step_count=100, skip_blocks=True,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_tiled2d_matches_blocked(rng):
+    from tbraymarcherplugin_tpu.ops import octree as O
+
+    volume, tf, rays, win = _ess_scene(rng)
+    lv = jnp.full((8, 8, 8), 0.7, jnp.float32)
+    jit = jitter_values(24, 24, frame_index=5)
+    kw = dict(jitter=jit, step_count=50, block_size=16)
+    a = np.asarray(
+        M.march_lit_blocked(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction, **kw
+        )
+    )
+    # 2D tiling that does NOT divide the image evenly (24 % 9 != 0).
+    b = np.asarray(
+        M.march_lit_tiled(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            tile2d=(9, 8), **kw,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    # And with skipping on top: still identical.
+    oc = O.build_octree(volume)
+    og = O.occupancy_grid(oc, win, tf, mip=2)
+    c = np.asarray(
+        M.march_lit_tiled(
+            volume, tf, lv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            tile2d=(8, 8), occ_grid=og.grid, occ_scale=og.cell_scale,
+            skip_blocks=True, **kw,
+        )
+    )
+    np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-7)
+
+
 def test_compat_final_step_flag_changes_result():
     # The flag only affects the final fractional step of rays that exit the
     # cube without early termination — so the volume must be non-zero at the

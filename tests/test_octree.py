@@ -75,11 +75,64 @@ def test_octree_march_mip0_close_to_nearest_render():
     assert not np.allclose(img0, img2)
 
 
-def test_occupancy_tile_mask():
+def test_occupancy_grid_marks_occupied_corner():
     vol = jnp.zeros((32, 32, 32), jnp.float32).at[0:8, 0:8, 0:8].set(0.9)
     oc = O.build_octree(vol)
     win = jnp.array([0.5, 1.0, 1.0, 1.0])
-    mask = np.asarray(O.occupancy_tile_mask(oc, win, RAMP_TF, mip=2))
-    assert mask.shape == (8, 8, 8)
-    assert mask[0, 0, 0] and mask[0:2, 0:2, 0:2].any()
-    assert not mask[4:, 4:, 4:].any()
+    og = O.occupancy_grid(oc, win, RAMP_TF, mip=2)
+    grid = np.asarray(og.grid)
+    assert grid.shape == (8, 8, 8)
+    assert grid[0, 0, 0]
+    # Far corner is all-zero values; zero maps to TF position 0 where the
+    # ramp TF has alpha 0 -> unoccupied (after the 3^3 dilation margin).
+    assert not grid[4:, 4:, 4:].any()
+    assert og.cell_scale == (8.0, 8.0, 8.0)
+
+
+def test_occupancy_grid_is_conservative(rng):
+    """Any UVW position in an unoccupied cell must sample alpha exactly 0."""
+    from tbraymarcherplugin_tpu.ops.sampling import (
+        sample_windowed_transfer_function, trilinear_sample,
+    )
+
+    v = np.zeros((24, 20, 17), np.float32)
+    for _ in range(4):  # a few scattered dense blobs in empty space
+        x, y, z = (rng.integers(0, d - 3) for d in v.shape)
+        v[x:x + 3, y:y + 3, z:z + 3] = rng.random((3, 3, 3), dtype=np.float32)
+    vol = jnp.asarray(v)
+    # Non-monotone TF: opaque band in the middle only.
+    tf = T.tf_from_keypoints(
+        [0.0, 0.3, 0.5, 0.7, 1.0],
+        [[0, 0, 0, 0], [0, 0, 0, 0], [1, 1, 1, 1], [0, 0, 0, 0], [0, 0, 0, 0]],
+    )
+    win = jnp.array([0.55, 0.6, 1.0, 1.0])
+    oc = O.build_octree(vol)
+    og = O.occupancy_grid(oc, win, tf, mip=2)
+    grid = np.asarray(og.grid)
+    assert grid.any() and not grid.all()  # test must exercise both branches
+
+    pts = jnp.asarray(rng.random((4096, 3)), jnp.float32)
+    alpha = np.asarray(
+        sample_windowed_transfer_function(
+            trilinear_sample(vol, pts), 1.0, tf, win
+        )[..., 3]
+    )
+    cells = np.minimum(
+        np.floor(np.asarray(pts) * np.asarray(og.cell_scale)).astype(int),
+        np.asarray(grid.shape) - 1,
+    )
+    occ_at_pt = grid[cells[:, 0], cells[:, 1], cells[:, 2]]
+    assert (alpha[~occ_at_pt] == 0.0).all()
+
+
+def test_occupancy_grid_cutoffs_cull():
+    vol = jnp.full((16, 16, 16), 0.9, jnp.float32)
+    oc = O.build_octree(vol)
+    # Window centered far below the data: every TF position > 1.
+    win_cut = jnp.array([0.2, 0.2, 1.0, 1.0])  # high cutoff active
+    og = O.occupancy_grid(oc, win_cut, RAMP_TF, mip=2)
+    assert not np.asarray(og.grid).any()
+    # Same window with cutoffs off: positions clamp into the top TF texel.
+    win_open = jnp.array([0.2, 0.2, 0.0, 0.0])
+    og2 = O.occupancy_grid(oc, win_open, RAMP_TF, mip=2)
+    assert np.asarray(og2.grid).all()
