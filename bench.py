@@ -101,10 +101,20 @@ def main() -> None:
     sol_rays_per_s = n_rays / sol_time if sol_time > 0 else float("inf")
     target = 0.9 * sol_rays_per_s
 
-    def frame(params, rays):
+    # Forward frames use the fused Pallas march when the scene satisfies its
+    # window-coverage precondition (true for the bench configs); the XLA
+    # blocked march is the fallback and the backward path.
+    from tbraymarcherplugin_tpu.ops import pallas_march as PM
+
+    use_pallas = on_tpu and PM.fits_pallas_window(rays, dims, step_count)
+    march_impl = "pallas" if use_pallas else "blocked"
+    print(json.dumps({"detail": "march_impl", "impl": march_impl}),
+          file=sys.stderr)
+
+    def frame(params, rays, impl=march_impl):
         return render_lit_scene(
             params, rays, clip.center, clip.direction, plans, dims,
-            step_count=step_count,
+            step_count=step_count, march_impl=impl,
         )
 
     # Warm up / compile; block immediately.
@@ -175,11 +185,13 @@ def _bench_fwd_bwd(jax, jnp, np, frame, params, rays, n_rays,
     surface (volume, TF table, window center/width, light intensities)."""
     import time as _time
 
-    target_img = jax.lax.stop_gradient(frame(params, rays))
+    # Gradients flow through the XLA blocked march (the pallas kernel is
+    # forward-only until it grows a custom VJP).
+    target_img = jax.lax.stop_gradient(frame(params, rays, impl="blocked"))
     target_img = jax.block_until_ready(target_img)
 
     def loss_fn(p):
-        img = frame(p, rays)
+        img = frame(p, rays, impl="blocked")
         return jnp.mean((img - target_img) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss_fn))

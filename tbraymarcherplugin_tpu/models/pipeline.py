@@ -142,14 +142,31 @@ def render_lit_scene(
 
     This is the "train step" analogue of the whole reference pipeline
     (SURVEY §3.2 + §3.3 fused). ``march_impl`` selects the step-sequential
-    scan march ("scan") or the TPU-throughput block-parallel march
-    ("blocked", default) — both have identical reference semantics.
+    scan march ("scan"), the TPU-throughput block-parallel march ("blocked",
+    default), or the fused Pallas kernel ("pallas") — all with identical
+    reference semantics. The pallas path is forward-only (no VJP yet),
+    needs 2D (H, W) ray batches, and callers must hold the
+    `pallas_march.fits_pallas_window` coverage precondition.
     """
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = compute_illumination(
         params, light_plans, clip_center, clip_direction, light_dims,
         low_cutoff, high_cutoff,
     )
+    if march_impl == "pallas":
+        from ..ops import pallas_march as PM
+
+        return PM.march_lit_pallas(
+            PM.swizzle_volume(params.volume),
+            params.tf_table,
+            PM.swizzle_volume(lv),
+            rays,
+            win,
+            clip_center,
+            clip_direction,
+            step_count=step_count,
+            early_termination=early_termination,
+        )
     if march_impl == "blocked":
         n_rays = int(np.prod(rays.thickness.shape))
         if n_rays > M.DEFAULT_TILE_SIZE:

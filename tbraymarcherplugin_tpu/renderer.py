@@ -65,8 +65,14 @@ class RendererConfig:
     early_termination: float = 0.95
     apply_write_threshold: bool = True
     compat_final_step: bool = True
-    # "blocked" = TPU-throughput block-parallel march; "scan" = step-sequential.
-    march_impl: str = "blocked"
+    # "auto" = fused Pallas kernel on TPU when its window-coverage contract
+    # holds, else the blocked XLA march with empty-space skipping; "pallas",
+    # "blocked", "scan" force a specific implementation.
+    march_impl: str = "auto"
+    # Gate all-empty march blocks on the min/max-pyramid occupancy grid
+    # (exact-conservative; `ops/octree.py:occupancy_grid`). Inference only:
+    # the renderer is not differentiated through.
+    empty_space_skipping: bool = True
 
 
 def _quantize_u8(x):
@@ -114,6 +120,10 @@ class Renderer:
         self.light_volume = L.clear_light_volume(self.light_volume_dims())
         self.octree: Optional[O.Octree] = None
         self._frame_index = 0
+        # Caches for the fast paths (invalidated by the dirty flags below).
+        self._pvol = None  # swizzled volume (pallas path)
+        self._plight = None  # swizzled light volume (pallas path)
+        self._occ = None  # occupancy grid (empty-space skipping)
         # Dirty flags (the `bRequestedRecompute` / `bRequestedOctreeRebuild`
         # pair of `RaymarchVolume.h`).
         self._lights_dirty = True
@@ -156,28 +166,35 @@ class Renderer:
         self.light_volume = L.clear_light_volume(self.light_volume_dims())
         self._lights_dirty = True
         self._octree_dirty = True
+        self._pvol = None
+        self._occ = None
 
     def set_tf(self, tf_table):
         """Swap the transfer function (`SetTFCurve`, `RaymarchVolume.cpp:562-577`)
         — invalidates lighting (TF changes occlusion)."""
         self.tf_table = jnp.asarray(tf_table, jnp.float32)
         self._lights_dirty = True
+        self._occ = None
 
     def set_window_center(self, center):
         self.windowing = dataclasses.replace(self.windowing, center=center)
         self._lights_dirty = True
+        self._occ = None
 
     def set_window_width(self, width):
         self.windowing = dataclasses.replace(self.windowing, width=width)
         self._lights_dirty = True
+        self._occ = None
 
     def set_low_cutoff(self, enabled: bool):
         self.windowing = dataclasses.replace(self.windowing, low_cutoff=enabled)
         self._lights_dirty = True
+        self._occ = None
 
     def set_high_cutoff(self, enabled: bool):
         self.windowing = dataclasses.replace(self.windowing, high_cutoff=enabled)
         self._lights_dirty = True
+        self._occ = None
 
     def set_transform(self, transform: VolumeTransform):
         """Move/rotate/scale the volume -> all lights recompute
@@ -242,6 +259,7 @@ class Renderer:
     def _maybe_quantize(self):
         if not self.config.light_volume_32bit:
             self.light_volume = _quantize_u8(self.light_volume)
+        self._plight = None
 
     def reset_all_lights(self):
         """Full illumination rebuild (`ResetAllLights`, cpp:418-451)."""
@@ -254,6 +272,7 @@ class Renderer:
             )
         self.light_volume = lv
         self._maybe_quantize()
+        self._plight = None
         self._prev_lights = {
             n: self._light_key(l) for n, l in self.lights.items()
         }
@@ -299,8 +318,8 @@ class Renderer:
             self._prev_lights[name] = self._light_key(light)
         self._maybe_quantize()
 
-    def ensure_octree(self):
-        if self.config.render_mode == "octree" and (
+    def ensure_octree(self, force: bool = False):
+        if (force or self.config.render_mode == "octree") and (
             self.octree is None or self._octree_dirty
         ):
             self.octree = O.build_octree(self.volume, max_value=1.0)
@@ -322,22 +341,7 @@ class Renderer:
 
         mode = self.config.render_mode
         if mode == "lit":
-            if self.config.march_impl == "blocked":
-                n_rays = width * height
-                march = (
-                    M.march_lit_tiled
-                    if n_rays > M.DEFAULT_TILE_SIZE
-                    else M.march_lit_blocked
-                )
-            else:
-                march = M.march_lit
-            return march(
-                self.volume, self.tf_table, self.light_volume, rays, win,
-                local_clip.center, local_clip.direction, jitter=jitter,
-                step_count=self.config.step_count,
-                early_termination=self.config.early_termination,
-                compat_final_step=self.config.compat_final_step,
-            )
+            return self._render_lit(rays, win, local_clip, jitter)
         if mode == "intensity":
             return M.march_intensity(
                 self.volume, rays, win, local_clip.center, local_clip.direction,
@@ -351,6 +355,75 @@ class Renderer:
                 early_termination=self.config.early_termination,
             )
         raise ValueError(f"unknown render mode {mode!r}")
+
+    def _use_pallas(self, rays) -> bool:
+        impl = self.config.march_impl
+        if impl == "pallas":
+            return True
+        if impl != "auto":
+            return False
+        if jax.devices()[0].platform == "cpu":
+            return False
+        from .ops import pallas_march as PM
+
+        return PM.fits_pallas_window(
+            rays, self.volume.shape, self.config.step_count
+        )
+
+    def _render_lit(self, rays, win, local_clip, jitter):
+        cfg = self.config
+        if self._use_pallas(rays):
+            from .ops import pallas_march as PM
+
+            if self._pvol is None:
+                self._pvol = PM.swizzle_volume(self.volume)
+            if self._plight is None:
+                self._plight = PM.swizzle_volume(self.light_volume)
+            return PM.march_lit_pallas(
+                self._pvol, self.tf_table, self._plight, rays, win,
+                local_clip.center, local_clip.direction, jitter=jitter,
+                step_count=cfg.step_count,
+                early_termination=cfg.early_termination,
+                compat_final_step=cfg.compat_final_step,
+            )
+
+        ess = {}
+        if cfg.empty_space_skipping and cfg.march_impl in ("auto", "blocked"):
+            if self._occ is None:
+                self.ensure_octree(force=True)
+                self._occ = O.occupancy_grid(self.octree, win, self.tf_table)
+            ess = dict(
+                occ_grid=self._occ.grid,
+                occ_scale=self._occ.cell_scale,
+                skip_blocks=True,
+            )
+
+        if cfg.march_impl in ("auto", "blocked"):
+            n_rays = int(np.prod(rays.thickness.shape))
+            if n_rays > M.DEFAULT_TILE_SIZE or ess:
+                return M.march_lit_tiled(
+                    self.volume, self.tf_table, self.light_volume, rays, win,
+                    local_clip.center, local_clip.direction, jitter=jitter,
+                    step_count=cfg.step_count,
+                    early_termination=cfg.early_termination,
+                    compat_final_step=cfg.compat_final_step,
+                    tile2d=(32, 32) if rays.thickness.ndim == 2 else None,
+                    **ess,
+                )
+            return M.march_lit_blocked(
+                self.volume, self.tf_table, self.light_volume, rays, win,
+                local_clip.center, local_clip.direction, jitter=jitter,
+                step_count=cfg.step_count,
+                early_termination=cfg.early_termination,
+                compat_final_step=cfg.compat_final_step,
+            )
+        return M.march_lit(
+            self.volume, self.tf_table, self.light_volume, rays, win,
+            local_clip.center, local_clip.direction, jitter=jitter,
+            step_count=cfg.step_count,
+            early_termination=cfg.early_termination,
+            compat_final_step=cfg.compat_final_step,
+        )
 
     # --- windowing getters mirroring the BP API (`RaymarchVolume.h:202-266`) --
 
