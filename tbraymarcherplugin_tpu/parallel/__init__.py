@@ -11,12 +11,17 @@ from .ray_sharding import (
     pad_rays_for_mesh,
     render_lit_sharded,
 )
-from .slab_sharding import compute_illumination_sharded, march_lit_slab_sharded
+from .slab_sharding import (
+    compute_illumination_sharded,
+    march_lit_slab_ring,
+    march_lit_slab_sharded,
+)
 
 __all__ = [
     "compute_illumination_sharded",
     "make_mesh",
     "make_sharded_train_step",
+    "march_lit_slab_ring",
     "march_lit_slab_sharded",
     "pad_rays_for_mesh",
     "render_lit_sharded",

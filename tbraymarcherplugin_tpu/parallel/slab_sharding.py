@@ -334,3 +334,196 @@ def compute_illumination_sharded(
 def _trilinear_slab_z_owner(pos_z, z_dim, z_start, z_count):
     iz = jnp.clip(jnp.floor(pos_z * z_dim - 0.5), 0, z_dim - 1)
     return (iz >= z_start) & (iz < z_start + z_count)
+
+
+def _ring_march_turn(
+    slab_halo,
+    z_start,
+    z_count,
+    global_dims,
+    tf_table,
+    light_volume,
+    rays: RayBatch,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    energy,
+    terminated,
+    class_mask,
+    step_count: int,
+    early_termination: float,
+    compat_final_step: bool,
+    jitter=None,
+):
+    """One device's turn in the ray-state ring: march the carried (energy,
+    terminated) state through this slab with exact single-chip semantics —
+    the step loop mirrors `march.march_lit.one_step` (ownership-masked), so
+    early termination (alpha snap at 0.95, `WindowedRaymarchMaterials.usf:
+    75-79`) carries across slab boundaries bit-exactly."""
+    step_size = 1.0 / step_count
+    step_vec = rays.direction * step_size
+    float_actual = step_count * rays.thickness
+    n_full = jnp.floor(float_actual)
+    final_frac = float_actual - n_full
+    pos0 = rays.entry
+    if jitter is not None:
+        pos0 = pos0 - step_vec * jitter[..., None]
+    step_world = VOLUME_DENSITY * step_size
+    n_steps = M.max_march_steps(step_count)
+    z_dim = global_dims[2]
+
+    def owned(pos):
+        return _trilinear_slab_z_owner(pos[..., 2], z_dim, z_start, z_count)
+
+    def sample(pos, step_sz):
+        value = _trilinear_slab(slab_halo, pos, global_dims, z_start)
+        rgba = sample_windowed_transfer_function(
+            value, step_sz, tf_table, windowing_vec4
+        )
+        light = trilinear_sample(light_volume, jnp.clip(pos, 0.0, 1.0))
+        return jnp.concatenate(
+            [rgba[..., :3] * light[..., None], rgba[..., 3:]], -1
+        )
+
+    def body(carry, i):
+        pos, energy, term = carry
+        in_range = i < n_full
+        pos = jnp.where(in_range[..., None], pos + step_vec, pos)
+        clipped = is_clipped(pos, clip_center, clip_direction)
+        active = class_mask & in_range & ~term & ~clipped & owned(pos)
+        energy = jnp.where(
+            active[..., None], accumulate(energy, sample(pos, step_world)), energy
+        )
+        hit = active & (energy[..., 3] > early_termination)
+        energy = energy.at[..., 3].set(jnp.where(hit, 1.0, energy[..., 3]))
+        term = term | hit
+        return (pos, energy, term), None
+
+    (pos, energy, terminated), _ = jax.lax.scan(
+        body, (pos0, energy, terminated), jnp.arange(n_steps)
+    )
+
+    # Final fractional step: applied exactly once, by the slab owning pos_f
+    # (the furthest-z slab the ray touches, hence the last turn that sees it).
+    pos_f = pos + step_vec * final_frac[..., None]
+    active_f = (
+        class_mask
+        & ~terminated
+        & (final_frac > 0.0)
+        & owned(pos_f)
+        & ~is_clipped(pos_f, clip_center, clip_direction)
+    )
+    fs_world = (
+        VOLUME_DENSITY * final_frac
+        if compat_final_step
+        else VOLUME_DENSITY * step_size * final_frac
+    )
+    energy = jnp.where(
+        active_f[..., None], accumulate(energy, sample(pos_f, fs_world)), energy
+    )
+    return energy, terminated
+
+
+def march_lit_slab_ring(
+    mesh: Mesh,
+    volume,  # (X, Y, Z) — sharded P(None, None, "slab") or replicated input
+    tf_table,
+    light_volume,
+    rays: RayBatch,  # replicated
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    step_count: int = 150,
+    early_termination: float = 0.95,
+    axis: str = "slab",
+    compat_final_step: bool = True,
+    jitter=None,
+):
+    """Slab-sharded lit march v2: the SURVEY-P2 ray-state ring.
+
+    Instead of per-slab segments + `all_gather` (:func:`march_lit_slab_sharded`,
+    which must disable early termination), the live per-ray carry
+    (rgb, alpha, terminated) hops between slab owners via `ppermute` in each
+    ray's Z traversal order — the same hand-off shape as the reference's
+    slice scan (`AddDirLightShader.usf:68-128`) lifted to the device ring.
+    Rays pointing +Z ride the ring 0→1→…→S-1; rays pointing −Z ride it
+    S-1→…→0, so with two slabs both devices march on every turn.
+
+    Per-hop communication is O(N_rays) (one 4-vector + flag per ray), and
+    early termination is exact: the carried alpha crosses slab boundaries, so
+    images match the single-chip :func:`~..ops.march.march_lit` bit-for-bit
+    semantics (same masked step loop, same 0.95 snap, same fractional final
+    step applied by the owner of its position).
+
+    Trade-off: the ring serializes slab turns (latency ≈ S sequential slab
+    marches, 2/S device utilization for S > 2) — it is the exactness-first
+    path for volumes too large for one chip; the segment-compositing variant
+    remains the throughput path when mid-ray termination may be forfeited.
+    """
+    n_shards = mesh.shape[axis]
+    global_dims = tuple(volume.shape)
+    assert global_dims[2] % n_shards == 0, "Z must divide the slab axis"
+    z_count = global_dims[2] // n_shards
+    img_shape = rays.thickness.shape
+    flat = RayBatch(
+        rays.entry.reshape(-1, 3),
+        rays.direction.reshape(-1, 3),
+        rays.thickness.reshape(-1),
+    )
+    jit_flat = None if jitter is None else jitter.reshape(-1)
+    n_rays = flat.thickness.shape[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(), P(), RayBatch(P(), P(), P())),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(vol_slab, tf, lv, rays_rep):
+        my = jax.lax.axis_index(axis)
+        slab_halo = _halo_exchange_z(vol_slab, axis)
+        z_start = my * z_count
+        fwd_mask = rays_rep.direction[..., 2] >= 0.0
+
+        def turn(state, class_mask):
+            energy, term = state
+            return _ring_march_turn(
+                slab_halo, z_start, z_count, global_dims, tf, lv, rays_rep,
+                windowing_vec4, clip_center, clip_direction,
+                energy, term, class_mask, step_count, early_termination,
+                compat_final_step, jit_flat,
+            )
+
+        zero = (
+            jnp.zeros((n_rays, 4), jnp.float32),
+            jnp.zeros((n_rays,), bool),
+        )
+        carry_f, carry_b = zero, zero
+        for t in range(n_shards):
+            carry_f = jax.lax.cond(
+                my == t, lambda c: turn(c, fwd_mask), lambda c: c, carry_f
+            )
+            carry_b = jax.lax.cond(
+                my == n_shards - 1 - t,
+                lambda c: turn(c, ~fwd_mask), lambda c: c, carry_b,
+            )
+            if t < n_shards - 1:
+                down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+                up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+                carry_f = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, axis, down), carry_f
+                )
+                carry_b = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, axis, up), carry_b
+                )
+        # Final fwd state lives on device S-1, bwd on device 0; one-hot + psum
+        # replicates them without a gather.
+        e_f = jax.lax.psum(
+            jnp.where(my == n_shards - 1, carry_f[0], 0.0), axis
+        )
+        e_b = jax.lax.psum(jnp.where(my == 0, carry_b[0], 0.0), axis)
+        return jnp.where(fwd_mask[..., None], e_f, e_b)
+
+    out = run(volume, tf_table, light_volume, flat)
+    return out.reshape(*img_shape, 4)

@@ -190,3 +190,65 @@ def test_2d_mesh_rays_and_slab():
         )
     )
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_slab_ring_march_matches_single_device_with_early_termination():
+    """The v2 ray-state ring: early termination ON, exact vs march_lit.
+
+    Uses a dense scene (wide opaque sphere + unit-alpha TF) so many rays
+    cross the 0.95 snap mid-volume — the case march_lit_slab_sharded cannot
+    reproduce.
+    """
+    from tbraymarcherplugin_tpu.parallel import march_lit_slab_ring
+
+    dims = (16, 16, 16)
+    volume = synthetic.sphere_volume(dims, radius=0.45)
+    tf = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0.2], [1, 1, 1, 1]])
+    cam = Camera.look_at([0.3, -2.4, 0.5], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    rays = setup_rays(cam, VolumeTransform.create(), 12, 12)
+    lv = jnp.ones(dims, jnp.float32)
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    mesh = make_mesh({"slab": 8})
+    ring = np.asarray(
+        march_lit_slab_ring(
+            mesh, volume, tf, lv, rays, win,
+            NO_CLIP.center, NO_CLIP.direction, step_count=24,
+        )
+    )
+    single = np.asarray(
+        M.march_lit(
+            volume, tf, lv, rays, win,
+            NO_CLIP.center, NO_CLIP.direction, step_count=24,
+        )
+    )
+    # Sanity: the scene actually terminates rays early.
+    assert (single[..., 3] == 1.0).any(), "scene never hits the alpha snap"
+    np.testing.assert_allclose(ring, single, rtol=1e-4, atol=1e-5)
+
+
+def test_slab_ring_march_negative_z_rays():
+    """Rays marching toward -Z ride the ring in reverse slab order."""
+    from tbraymarcherplugin_tpu.parallel import march_lit_slab_ring
+
+    dims = (16, 16, 16)
+    volume = synthetic.sphere_volume(dims, radius=0.45)
+    tf = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0.2], [1, 1, 1, 1]])
+    # Camera above looking down: dir_z < 0 for all rays.
+    cam = Camera.look_at([0.1, 0.3, 2.4], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    rays = setup_rays(cam, VolumeTransform.create(), 10, 10)
+    lv = jnp.ones(dims, jnp.float32)
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    mesh = make_mesh({"slab": 8})
+    ring = np.asarray(
+        march_lit_slab_ring(
+            mesh, volume, tf, lv, rays, win,
+            NO_CLIP.center, NO_CLIP.direction, step_count=24,
+        )
+    )
+    single = np.asarray(
+        M.march_lit(
+            volume, tf, lv, rays, win,
+            NO_CLIP.center, NO_CLIP.direction, step_count=24,
+        )
+    )
+    np.testing.assert_allclose(ring, single, rtol=1e-4, atol=1e-5)
