@@ -106,15 +106,17 @@ def main() -> None:
     # blocked march is the fallback and the backward path.
     from tbraymarcherplugin_tpu.ops import pallas_march as PM
 
-    use_pallas = on_tpu and PM.fits_pallas_window(rays, dims, step_count)
-    march_impl = "pallas" if use_pallas else "blocked"
-    print(json.dumps({"detail": "march_impl", "impl": march_impl}),
-          file=sys.stderr)
+    cw = PM.choose_window(rays, dims, step_count) if on_tpu else None
+    march_impl = "pallas" if cw else "blocked"
+    pallas_window = cw[0] if cw else None
+    print(json.dumps({"detail": "march_impl", "impl": march_impl,
+                      "window": pallas_window}), file=sys.stderr)
 
     def frame(params, rays, impl=march_impl):
         return render_lit_scene(
             params, rays, clip.center, clip.direction, plans, dims,
             step_count=step_count, march_impl=impl,
+            pallas_window=pallas_window if impl == "pallas" else None,
         )
 
     # Warm up / compile; block immediately.

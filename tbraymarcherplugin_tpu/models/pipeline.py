@@ -122,6 +122,7 @@ def compute_illumination(
         "checkpoint_every",
         "early_termination",
         "march_impl",
+        "pallas_window",
     ),
 )
 def render_lit_scene(
@@ -137,6 +138,7 @@ def render_lit_scene(
     checkpoint_every: int = 32,
     early_termination: float = 0.95,
     march_impl: str = "blocked",
+    pallas_window: tuple | None = None,
 ) -> jnp.ndarray:
     """Differentiable lit render: illumination + march, one XLA computation.
 
@@ -156,16 +158,39 @@ def render_lit_scene(
     if march_impl == "pallas":
         from ..ops import pallas_march as PM
 
+        window = pallas_window or PM.DEFAULT_WINDOW
+        lwindow = PM.scale_light_window(
+            window, tuple(params.volume.shape), light_dims
+        )
         return PM.march_lit_pallas(
-            PM.swizzle_volume(params.volume),
+            PM.swizzle_volume(params.volume, min_window=window),
             params.tf_table,
-            PM.swizzle_volume(lv),
+            PM.swizzle_volume(lv, min_window=lwindow),
             rays,
             win,
             clip_center,
             clip_direction,
             step_count=step_count,
             early_termination=early_termination,
+            window=window,
+            light_window=lwindow,
+        )
+    if march_impl == "tiled2d":
+        # Spatially-coherent 32x32 image tiles via lax.map: many small
+        # programs instead of one giant flat-tile gather — the shape the
+        # axon TPU runtime handles where the 128k flat tiles fault.
+        return M.march_lit_tiled(
+            params.volume,
+            params.tf_table,
+            lv,
+            rays,
+            win,
+            clip_center,
+            clip_direction,
+            step_count=step_count,
+            block_size=checkpoint_every,
+            early_termination=early_termination,
+            tile2d=(32, 32) if rays.thickness.ndim == 2 else None,
         )
     if march_impl == "blocked":
         n_rays = int(np.prod(rays.thickness.shape))

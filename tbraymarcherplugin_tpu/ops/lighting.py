@@ -159,20 +159,32 @@ def face_step_and_uvw_offset(face: int, light_pos, transposed_dims, min_dim: int
 
 def _shift_1d_border(arr, offset, axis, border):
     """1D linear-interp resample of ``arr`` shifted by fractional ``offset``
-    texels along ``axis``, out-of-range taps reading ``border``."""
+    texels along ``axis``, out-of-range taps reading ``border``.
+
+    The shift is constant across the array, so instead of an index gather
+    (scalarized on TPU) this pads with the border value and takes two
+    `dynamic_slice` taps — pure contiguous reads. A |shift| > n lands the
+    whole window in the border padding, which the slice-start clamp maps to
+    an all-border read, matching the gather formulation exactly.
+    """
     n = arr.shape[axis]
     i0 = jnp.floor(offset)
     frac = offset - i0
-    base = jnp.arange(n) + i0.astype(jnp.int32)
 
-    def tap(idx):
-        v = jnp.take(arr, jnp.clip(idx, 0, n - 1), axis=axis)
-        inb = (idx >= 0) & (idx < n)
-        shape = [1] * arr.ndim
-        shape[axis] = n
-        return jnp.where(inb.reshape(shape), v, border)
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = n
+    pad = jnp.broadcast_to(jnp.asarray(border, arr.dtype), tuple(pad_shape))
+    padded = jnp.concatenate([pad, arr, pad], axis=axis)
 
-    return tap(base) * (1.0 - frac) + tap(base + 1) * frac
+    starts = [jnp.int32(0)] * arr.ndim
+    sizes = list(arr.shape)
+
+    def tap(d):
+        s = list(starts)
+        s[axis] = jnp.clip(i0.astype(jnp.int32) + n + d, 0, 2 * n)
+        return jax.lax.dynamic_slice(padded, s, sizes)
+
+    return tap(0) * (1.0 - frac) + tap(1) * frac
 
 
 def shift_2d_bilinear_border(buffer, offset_x, offset_y, border):
@@ -213,11 +225,69 @@ def occluder_opacity_volume(
     )
     alpha_weight = clip_soft_alpha_weight(uvw, clip_center, clip_direction, res)
     inside = jnp.all((uvw >= 0.0) & (uvw <= 1.0), axis=-1)
-    value = trilinear_sample(volume, uvw)
+    vd = tuple(volume.shape)
+    if all(v % l == 0 for v, l in zip(vd, light_dims)):
+        # The sample offset is CONSTANT across the grid and the grid stride
+        # is an integer number of voxels, so the "gather" is really 8
+        # strided-slice taps of the volume with constant trilinear weights —
+        # pure contiguous reads instead of a 16M-point scalarized gather
+        # (the difference between ~1.3 s and ~1 ms per face at 256^3).
+        value = _const_shift_trilinear(volume, light_dims, uvw_offset)
+    else:
+        value = trilinear_sample(volume, uvw)
     opacity = sample_windowed_transfer_function(
         value, step_size * VOLUME_DENSITY, tf_table, windowing_vec4
     )[..., 3]
     return jnp.where(inside & (alpha_weight > 0.0), opacity * alpha_weight, 0.0)
+
+
+def _const_shift_trilinear(volume, light_dims, uvw_offset):
+    """Trilinear resample of ``volume`` at light-grid centers + constant UVW
+    offset, for integer volume/light resolution ratios.
+
+    Voxel-space position of light voxel g (per axis, ratio r = vd/ld):
+    ``p = (g + 0.5) * r - 0.5 + off * vd = g * r + c`` with a constant ``c``
+    — so ``floor(p) = g * r + floor(c)`` and the fractional weights are the
+    same for every voxel. Each of the 8 trilinear corners is one
+    (dynamic-start, static-stride) slice of an edge-padded volume; edge
+    padding reproduces `sampling.trilinear_sample`'s clamp-to-edge corners.
+    """
+    vd = tuple(int(d) for d in volume.shape)
+    ld = tuple(int(d) for d in light_dims)
+    r = tuple(v // l for v, l in zip(vd, ld))
+    off = jnp.asarray(uvw_offset, jnp.float32)
+    # Worst-case |c|: the offset is a unit vector / min(light_dims)
+    # (`face_step_and_uvw_offset`), so |off[a] * vd[a]| <= r[a]*ld[a]/min(ld).
+    pads = tuple(
+        r[a] + 2 + -(-r[a] * ld[a] // min(ld)) for a in range(3)
+    )
+    vp = jnp.pad(volume, tuple((p, p) for p in pads), mode="edge")
+    i0, frac = [], []
+    for a in range(3):
+        c = 0.5 * r[a] - 0.5 + off[a] * vd[a]
+        f = jnp.floor(c)
+        frac.append(c - f)
+        i0.append(
+            jnp.clip(
+                f.astype(jnp.int32) + pads[a], 0, 2 * pads[a] + r[a] - 2
+            )
+        )
+    sizes = tuple((ld[a] - 1) * r[a] + 1 for a in range(3))
+
+    def corner(dx, dy, dz):
+        sl = jax.lax.dynamic_slice(
+            vp, (i0[0] + dx, i0[1] + dy, i0[2] + dz), sizes
+        )
+        return sl[:: r[0], :: r[1], :: r[2]]
+
+    fx, fy, fz = frac
+    c00 = corner(0, 0, 0) * (1 - fz) + corner(0, 0, 1) * fz
+    c01 = corner(0, 1, 0) * (1 - fz) + corner(0, 1, 1) * fz
+    c10 = corner(1, 0, 0) * (1 - fz) + corner(1, 0, 1) * fz
+    c11 = corner(1, 1, 0) * (1 - fz) + corner(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
 
 
 class FacePropagationPlan(NamedTuple):

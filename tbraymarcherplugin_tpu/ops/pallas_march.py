@@ -60,11 +60,17 @@ from .sampling import VOLUME_DENSITY
 TILE_H = 16
 TILE_W = 16
 SEG_STEPS = 4
-# Window: 3x3 pencils (24 x 24 voxels in x/y) by 16 voxels in z (8 rows of
-# z-pairs, origin snapped to even z).
+# Default window: 3x3 pencils (24 x 24 voxels in x/y) by 16 voxels in z
+# (8 rows of z-pairs, origin snapped to even z). The window is a per-call
+# static parameter (see :func:`choose_window`) — wider footprints (zoomed-out
+# cameras, coarse step counts) compile with a larger window instead of
+# falling back to the XLA path, trading DMA/shuffle volume for coverage.
 WIN_PENCILS = 3
 WIN_Z_ROWS = 8
 N_WIN = WIN_PENCILS * WIN_PENCILS
+DEFAULT_WINDOW = (WIN_PENCILS, WIN_PENCILS, WIN_Z_ROWS)
+# VMEM cap for one double-buffered window pair (volume + light), bytes.
+MAX_WINDOW_VMEM = 4 << 20
 
 
 @jax.tree_util.register_pytree_node_class
@@ -99,12 +105,19 @@ def _ceil_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def swizzle_volume(volume: jnp.ndarray) -> PencilVolume:
-    """Pack an (X, Y, Z) volume into pencil layout (edge-replicated pad)."""
+def swizzle_volume(
+    volume: jnp.ndarray, min_window: tuple = DEFAULT_WINDOW
+) -> PencilVolume:
+    """Pack an (X, Y, Z) volume into pencil layout (edge-replicated pad).
+
+    ``min_window`` = (pencils_x, pencils_y, z_rows): the largest DMA window
+    this swizzle must accommodate (small volumes pad up to one full window).
+    """
     X, Y, Z = (int(d) for d in volume.shape)
-    xp = max(WIN_PENCILS * 8, _ceil_to(X + 1, 8))
-    yp = max(WIN_PENCILS * 8, _ceil_to(Y + 1, 8))
-    zp = max(2 * WIN_Z_ROWS, _ceil_to(Z + 1, 2))
+    wx, wy, wz = min_window
+    xp = max(wx * 8, _ceil_to(X + 1, 8))
+    yp = max(wy * 8, _ceil_to(Y + 1, 8))
+    zp = max(2 * wz, _ceil_to(Z + 1, 2))
     v = jnp.pad(
         volume.astype(jnp.float32),
         ((0, xp - X), (0, yp - Y), (0, zp - Z)),
@@ -140,18 +153,58 @@ def max_tile_footprint_voxels(
     return spreads * dims_f + seg_adv + 2.0
 
 
-def fits_pallas_window(rays: RayBatch, dims, step_count: int) -> bool:
-    """True when every (tile, segment) footprint fits the DMA window.
+def fits_pallas_window(
+    rays: RayBatch, dims, step_count: int, window: tuple = DEFAULT_WINDOW
+) -> bool:
+    """True when every (tile, segment) footprint fits the DMA ``window``.
 
-    Budget: x/y = WIN_PENCILS*8 - 7 (pencil snap) - 1 (trilinear);
-    z = 2*WIN_Z_ROWS - 2 (even snap) - 1.
+    Budget: x/y = pencils*8 - 7 (pencil snap) - 1 (trilinear);
+    z = 2*z_rows - 2 (even snap) - 1.
     """
     fp = max_tile_footprint_voxels(rays, dims, step_count)
-    xy_budget = WIN_PENCILS * 8 - 8
-    z_budget = 2 * WIN_Z_ROWS - 3
+    wx, wy, wz = window
     return bool(
-        fp[0] <= xy_budget and fp[1] <= xy_budget and fp[2] <= z_budget
+        fp[0] <= wx * 8 - 8 and fp[1] <= wy * 8 - 8 and fp[2] <= 2 * wz - 3
     )
+
+
+def choose_window(
+    rays: RayBatch,
+    dims,
+    step_count: int,
+    light_dims=None,
+    max_vmem_bytes: int = MAX_WINDOW_VMEM,
+):
+    """Pick the smallest (pencils_x, pencils_y, z_rows) window covering the
+    worst-case (tile, segment) footprint, plus the matching light window.
+
+    Returns ``(window, light_window)`` or ``None`` when the footprint would
+    need more than ``max_vmem_bytes`` of double-buffered window VMEM (then
+    the caller falls back to the XLA march). Host-side only — call outside
+    jit with concrete rays.
+    """
+    fp = max_tile_footprint_voxels(rays, dims, step_count)
+    wx = max(2, int(math.ceil((fp[0] + 8.0) / 8.0)))
+    wy = max(2, int(math.ceil((fp[1] + 8.0) / 8.0)))
+    wz = max(2, int(math.ceil((fp[2] + 3.0) / 2.0)))
+    window = (wx, wy, wz)
+    lwindow = scale_light_window(window, dims, light_dims or dims)
+    vmem = 2 * 128 * 4 * (wx * wy * wz + lwindow[0] * lwindow[1] * lwindow[2])
+    if vmem > max_vmem_bytes:
+        return None
+    return window, lwindow
+
+
+def scale_light_window(window: tuple, vdims, ldims) -> tuple:
+    """Light-volume window covering the same UVW footprint as ``window``
+    (conservative, per-axis scaled by the resolution ratio; equal dims map to
+    the identical window, half-res light volumes shrink it)."""
+    wx, wy, wz = window
+    r = [ld / vd for ld, vd in zip(ldims, vdims)]
+    lx = max(2, int(math.ceil(((wx * 8 - 8) * r[0] + 8.0) / 8.0)))
+    ly = max(2, int(math.ceil(((wy * 8 - 8) * r[1] + 8.0) / 8.0)))
+    lz = max(2, int(math.ceil(((2 * wz - 3) * r[2] + 3.0) / 2.0)))
+    return (lx, ly, lz)
 
 
 def _pack_tf(tf_table: jnp.ndarray) -> jnp.ndarray:
@@ -193,25 +246,27 @@ def _group_any(x_bool):
     return _group_sum(x_bool.astype(jnp.float32)) > 0.0
 
 
-def _gather1024(table, flat_idx):
-    """table: (8, 128) = 1024-entry VMEM table; flat_idx: (8, 128) int32."""
+def _gather_rows(table, flat_idx, rows):
+    """table: (rows, 128) VMEM lookup table; flat_idx: (8, 128) int32 in
+    [0, rows*128)."""
     li = flat_idx & 127
     si = flat_idx >> 7
     out = jnp.zeros(flat_idx.shape, jnp.float32)
-    for r in range(8):
+    for r in range(rows):
         row = jnp.broadcast_to(table[r : r + 1, :], flat_idx.shape)
         g = jnp.take_along_axis(row, li, axis=1)
         out = jnp.where(si == r, g, out)
     return out
 
 
-def _window_trilinear(win_ref, slot, vx, vy, vz, wox, woy, woz, n_pencils):
+def _window_trilinear(win_ref, slot, vx, vy, vz, wox, woy, woz, window):
     """Trilinear fetch from the DMA'd pencil window.
 
-    win_ref: (2, n_pencils^2, 8, 128) scratch; (vx, vy, vz): (8,128) voxel
+    win_ref: (2, wpx*wpy, z_rows, 128) scratch; (vx, vy, vz): (8,128) voxel
     coords already clamped to [0, dim-1]; (wox, woy, woz): scalar window
-    origin in voxels (x/y pencil-snapped, z even).
+    origin in voxels (x/y pencil-snapped, z even); window = (wpx, wpy, z_rows).
     """
+    wpx_n, wpy_n, wz_n = window
     x0f = jnp.floor(vx)
     y0f = jnp.floor(vy)
     z0f = jnp.floor(vz)
@@ -221,22 +276,21 @@ def _window_trilinear(win_ref, slot, vx, vy, vz, wox, woy, woz, n_pencils):
     # Clamp into the window: inert when the coverage contract holds (see
     # module docstring); out-of-contract scenes degrade to clamped samples
     # instead of silent zeros.
-    wspan = n_pencils * 8 - 2
-    lx = jnp.clip(x0f.astype(jnp.int32) - wox, 0, wspan)
-    ly = jnp.clip(y0f.astype(jnp.int32) - woy, 0, wspan)
-    lz = jnp.clip(z0f.astype(jnp.int32) - woz, 0, 2 * WIN_Z_ROWS - 2)
+    lx = jnp.clip(x0f.astype(jnp.int32) - wox, 0, wpx_n * 8 - 2)
+    ly = jnp.clip(y0f.astype(jnp.int32) - woy, 0, wpy_n * 8 - 2)
+    lz = jnp.clip(z0f.astype(jnp.int32) - woz, 0, 2 * wz_n - 2)
 
-    win = [win_ref[slot, p] for p in range(n_pencils * n_pencils)]
+    win = [win_ref[slot, p] for p in range(wpx_n * wpy_n)]
 
     def fetch(dx, dy, dz):
         cx = lx + dx
         cy = ly + dy
         cz = lz + dz
-        pencil = (cx >> 3) * n_pencils + (cy >> 3)
+        pencil = (cx >> 3) * wpy_n + (cy >> 3)
         flat = cz * 64 + (cx & 7) * 8 + (cy & 7)
         out = jnp.zeros(flat.shape, jnp.float32)
-        for p in range(n_pencils * n_pencils):
-            g = _gather1024(win[p], flat)
+        for p in range(wpx_n * wpy_n):
+            g = _gather_rows(win[p], flat, wz_n)
             out = jnp.where(pencil == p, g, out)
         return out
 
@@ -276,8 +330,9 @@ def _sample_tf_packed(tfp, tf_pos):
     return out  # [r, g, b, a], each (8, 128)
 
 
-def _window_plan(ch, seg, dims_f, zp, npx, npy, win_pencils, win_z_rows):
+def _window_plan(ch, seg, dims_f, zp, npx, npy, window):
     """Scalar window origin for a segment from the tile's sample AABB."""
+    win_px, win_py, win_z_rows = window
     p0x, p0y, p0z = ch[0], ch[1], ch[2]
     svx, svy, svz = ch[3], ch[4], ch[5]
     k_lo = (seg * SEG_STEPS + 1).astype(jnp.float32)
@@ -293,8 +348,8 @@ def _window_plan(ch, seg, dims_f, zp, npx, npy, win_pencils, win_z_rows):
         b = vox_clamp(p0 + sv * k_hi, dim)
         mins.append(jnp.min(jnp.minimum(a, b)))
     mnx, mny, mnz = mins
-    wpx = jnp.clip(mnx.astype(jnp.int32) >> 3, 0, npx - win_pencils)
-    wpy = jnp.clip(mny.astype(jnp.int32) >> 3, 0, npy - win_pencils)
+    wpx = jnp.clip(mnx.astype(jnp.int32) >> 3, 0, npx - win_px)
+    wpy = jnp.clip(mny.astype(jnp.int32) >> 3, 0, npy - win_py)
     wrz = jnp.clip(mnz.astype(jnp.int32) >> 1, 0, zp // 2 - win_z_rows)
     return wpx, wpy, wrz
 
@@ -306,10 +361,10 @@ def _march_kernel_body(
     vol_hbm,  # ANY (npv, zrv, 128)
     light_hbm,  # ANY (npl, zrl, 128)
     out_ref,  # VMEM (1, 4, 8, 128)
-    winv_ref,  # VMEM (2, N_WIN, 8, 128)
-    winl_ref,  # VMEM (2, LWIN, 8, 128)
-    semv,  # DMA sems (2, N_WIN)
-    seml,  # DMA sems (2, LWIN)
+    winv_ref,  # VMEM (2, vwin px*py, vwin z_rows, 128)
+    winl_ref,  # VMEM (2, lwin px*py, lwin z_rows, 128)
+    semv,  # DMA sems (2, vwin px*py)
+    seml,  # DMA sems (2, lwin px*py)
     *,
     vdims,
     ldims,
@@ -319,7 +374,8 @@ def _march_kernel_body(
     lnpx,
     lnpy,
     lzp,
-    lwin_pencils,
+    vwin,  # (pencils_x, pencils_y, z_rows) volume DMA window
+    lwin,  # same for the light volume
     step_count,
     early_termination,
     compat_final_step,
@@ -354,42 +410,40 @@ def _march_kernel_body(
     step_in_seg = (row % 4).astype(jnp.float32)
 
     def plan_v(seg):
-        return _window_plan(ch, seg, vdims_f, vzp, vnpx, vnpy,
-                            WIN_PENCILS, WIN_Z_ROWS)
+        return _window_plan(ch, seg, vdims_f, vzp, vnpx, vnpy, vwin)
 
     def plan_l(seg):
-        return _window_plan(ch, seg, ldims_f, lzp, lnpx, lnpy,
-                            lwin_pencils, WIN_Z_ROWS)
+        return _window_plan(ch, seg, ldims_f, lzp, lnpx, lnpy, lwin)
 
     def issue_dma(slot, seg):
         wpx, wpy, wrz = plan_v(seg)
-        for p in range(N_WIN):
-            dx, dy = p // WIN_PENCILS, p % WIN_PENCILS
+        for p in range(vwin[0] * vwin[1]):
+            dx, dy = p // vwin[1], p % vwin[1]
             pltpu.make_async_copy(
                 vol_hbm.at[(wpx + dx) * vnpy + (wpy + dy),
-                           pl.ds(wrz, WIN_Z_ROWS), :],
+                           pl.ds(wrz, vwin[2]), :],
                 winv_ref.at[slot, p],
                 semv.at[slot, p],
             ).start()
         lpx, lpy, lrz = plan_l(seg)
-        for p in range(lwin_pencils * lwin_pencils):
-            dx, dy = p // lwin_pencils, p % lwin_pencils
+        for p in range(lwin[0] * lwin[1]):
+            dx, dy = p // lwin[1], p % lwin[1]
             pltpu.make_async_copy(
                 light_hbm.at[(lpx + dx) * lnpy + (lpy + dy),
-                             pl.ds(lrz, WIN_Z_ROWS), :],
+                             pl.ds(lrz, lwin[2]), :],
                 winl_ref.at[slot, p],
                 seml.at[slot, p],
             ).start()
 
     def wait_dma(slot):
-        for p in range(N_WIN):
+        for p in range(vwin[0] * vwin[1]):
             pltpu.make_async_copy(
-                vol_hbm.at[0, pl.ds(0, WIN_Z_ROWS), :],
+                vol_hbm.at[0, pl.ds(0, vwin[2]), :],
                 winv_ref.at[slot, p], semv.at[slot, p],
             ).wait()
-        for p in range(lwin_pencils * lwin_pencils):
+        for p in range(lwin[0] * lwin[1]):
             pltpu.make_async_copy(
-                light_hbm.at[0, pl.ds(0, WIN_Z_ROWS), :],
+                light_hbm.at[0, pl.ds(0, lwin[2]), :],
                 winl_ref.at[slot, p], seml.at[slot, p],
             ).wait()
 
@@ -428,7 +482,7 @@ def _march_kernel_body(
         vy = jnp.clip(py * vdims_f[1] - 0.5, 0.0, vdims_f[1] - 1.0)
         vz = jnp.clip(pz * vdims_f[2] - 0.5, 0.0, vdims_f[2] - 1.0)
         value = _window_trilinear(
-            winv_ref, slot, vx, vy, vz, wpx * 8, wpy * 8, wrz * 2, WIN_PENCILS
+            winv_ref, slot, vx, vy, vz, wpx * 8, wpy * 8, wrz * 2, vwin
         )
 
         # Windowing + cutoffs (`WindowedSampling.usf:20-37`).
@@ -454,8 +508,7 @@ def _march_kernel_body(
         lz = jnp.clip(jnp.clip(pz, 0.0, 1.0) * ldims_f[2] - 0.5,
                       0.0, ldims_f[2] - 1.0)
         light = _window_trilinear(
-            winl_ref, slot, lx, ly, lz, lpx_ * 8, lpy_ * 8, lrz_ * 2,
-            lwin_pencils,
+            winl_ref, slot, lx, ly, lz, lpx_ * 8, lpy_ * 8, lrz_ * 2, lwin
         )
 
         a_s = jnp.where(m & ~cut, ca, 0.0)
@@ -566,6 +619,8 @@ def _prep_ray_channels(rays: RayBatch, jitter, step_count, h, w):
         "step_count",
         "early_termination",
         "compat_final_step",
+        "window",
+        "light_window",
         "interpret",
     ),
 )
@@ -581,12 +636,17 @@ def march_lit_pallas(
     step_count: int = 150,
     early_termination: float = 0.95,
     compat_final_step: bool = True,
+    window: tuple = DEFAULT_WINDOW,
+    light_window: tuple | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused Pallas lit march over a pencil-swizzled volume + light volume.
 
     Drop-in equivalent of :func:`.march.march_lit` for 2D (H, W) ray batches
-    (images); swizzle inputs once with :func:`swizzle_volume`.
+    (images); swizzle inputs once with :func:`swizzle_volume`. ``window`` /
+    ``light_window`` are the static DMA window sizes — pick them with
+    :func:`choose_window` from concrete rays (the default suits images whose
+    resolution is >= the volume's).
     """
     h, w = rays.thickness.shape
     ch, nth, ntw = _prep_ray_channels(rays, jitter, step_count, h, w)
@@ -601,12 +661,18 @@ def march_lit_pallas(
         ]
     ).reshape(1, 12)
 
-    # Light window: half-res light volumes fit 2x2 pencils; near-full-res
-    # ones need 3x3.
-    lwin = 2 if all(
-        ld * 8 <= vd * 5 for ld, vd in zip(plight.dims, pvol.dims)
-    ) else 3
-    lwin = min(lwin, plight.npx, plight.npy)
+    if light_window is None:
+        light_window = scale_light_window(window, pvol.dims, plight.dims)
+    vwin = (
+        min(window[0], pvol.npx),
+        min(window[1], pvol.npy),
+        min(window[2], pvol.zp // 2),
+    )
+    lwin = (
+        min(light_window[0], plight.npx),
+        min(light_window[1], plight.npy),
+        min(light_window[2], plight.zp // 2),
+    )
 
     kernel = partial(
         _march_kernel_body,
@@ -618,7 +684,8 @@ def march_lit_pallas(
         lnpx=plight.npx,
         lnpy=plight.npy,
         lzp=plight.zp,
-        lwin_pencils=lwin,
+        vwin=vwin,
+        lwin=lwin,
         step_count=step_count,
         early_termination=early_termination,
         compat_final_step=compat_final_step,
@@ -639,10 +706,10 @@ def march_lit_pallas(
         out_specs=pl.BlockSpec((1, 4, 8, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, N_WIN, 8, 128), jnp.float32),
-            pltpu.VMEM((2, lwin * lwin, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, N_WIN)),
-            pltpu.SemaphoreType.DMA((2, lwin * lwin)),
+            pltpu.VMEM((2, vwin[0] * vwin[1], vwin[2], 128), jnp.float32),
+            pltpu.VMEM((2, lwin[0] * lwin[1], lwin[2], 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, vwin[0] * vwin[1])),
+            pltpu.SemaphoreType.DMA((2, lwin[0] * lwin[1])),
         ],
         interpret=interpret,
     )(fparams, ch, tfp, pvol.pencils, plight.pencils)

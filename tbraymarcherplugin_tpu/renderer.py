@@ -123,6 +123,8 @@ class Renderer:
         # Caches for the fast paths (invalidated by the dirty flags below).
         self._pvol = None  # swizzled volume (pallas path)
         self._plight = None  # swizzled light volume (pallas path)
+        self._pvol_minwin = (0, 0, 0)  # window the swizzle was padded for
+        self._plight_minwin = (0, 0, 0)
         self._occ = None  # occupancy grid (empty-space skipping)
         # Dirty flags (the `bRequestedRecompute` / `bRequestedOctreeRebuild`
         # pair of `RaymarchVolume.h`).
@@ -356,35 +358,58 @@ class Renderer:
             )
         raise ValueError(f"unknown render mode {mode!r}")
 
-    def _use_pallas(self, rays) -> bool:
+    def _pallas_windows(self, rays):
+        """(window, light_window) for the fused kernel, or None to fall back.
+
+        The DMA window is chosen per-footprint (:func:`..ops.pallas_march.
+        choose_window`); scenes whose worst-case tile footprint would blow
+        the VMEM cap fall back to the XLA march (unless ``march_impl`` is
+        explicitly "pallas", which then raises).
+        """
         impl = self.config.march_impl
-        if impl == "pallas":
-            return True
-        if impl != "auto":
-            return False
-        if jax.devices()[0].platform == "cpu":
-            return False
+        if impl not in ("auto", "pallas"):
+            return None
+        if impl == "auto" and jax.devices()[0].platform == "cpu":
+            return None
         from .ops import pallas_march as PM
 
-        return PM.fits_pallas_window(
-            rays, self.volume.shape, self.config.step_count
+        cw = PM.choose_window(
+            rays, self.volume.shape, self.config.step_count,
+            light_dims=self.light_volume.shape,
         )
+        if cw is None and impl == "pallas":
+            raise ValueError(
+                "scene footprint exceeds the pallas DMA-window VMEM cap; "
+                "use march_impl='auto' or 'blocked'"
+            )
+        return cw
 
     def _render_lit(self, rays, win, local_clip, jitter):
         cfg = self.config
-        if self._use_pallas(rays):
+        cw = self._pallas_windows(rays)
+        if cw is not None:
             from .ops import pallas_march as PM
 
-            if self._pvol is None:
-                self._pvol = PM.swizzle_volume(self.volume)
-            if self._plight is None:
-                self._plight = PM.swizzle_volume(self.light_volume)
+            window, lwindow = cw
+            if self._pvol is None or any(
+                w > m for w, m in zip(window, self._pvol_minwin)
+            ):
+                self._pvol = PM.swizzle_volume(self.volume, min_window=window)
+                self._pvol_minwin = window
+            if self._plight is None or any(
+                w > m for w, m in zip(lwindow, self._plight_minwin)
+            ):
+                self._plight = PM.swizzle_volume(
+                    self.light_volume, min_window=lwindow
+                )
+                self._plight_minwin = lwindow
             return PM.march_lit_pallas(
                 self._pvol, self.tf_table, self._plight, rays, win,
                 local_clip.center, local_clip.direction, jitter=jitter,
                 step_count=cfg.step_count,
                 early_termination=cfg.early_termination,
                 compat_final_step=cfg.compat_final_step,
+                window=window, light_window=lwindow,
             )
 
         ess = {}

@@ -19,6 +19,9 @@ from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, VolumeTransform
 
 NO_CLIP = ClipPlane.disabled()
 
+# FD checks recompile the full fwd+bwd per test (~15 min total): slow tier.
+pytestmark = pytest.mark.slow
+
 
 def _setup(img=8, dims=(12, 12, 12), step_count=24):
     """Scene for FD checks.

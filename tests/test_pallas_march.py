@@ -154,3 +154,40 @@ def test_footprint_guard():
     cam = Camera.look_at([0.3, -2.4, 0.5], [0.0, 0.0, 0.0], fov_degrees=30.0)
     tiny = setup_rays(cam, VolumeTransform.create(), 16, 16)
     assert not PM.fits_pallas_window(tiny, volume.shape, 8)
+
+
+def test_pallas_march_custom_window():
+    """Non-default static DMA window (asymmetric pencils + deeper z), as
+    chosen by choose_window for zoomed-out/coarse-step scenes."""
+    volume, lv, rays = _scene()
+    win = jnp.array([0.5, 1.0, 1.0, 1.0])
+    want = np.asarray(
+        M.march_lit(
+            volume, RAMP_TF, lv, rays, win, NO_CLIP.center,
+            NO_CLIP.direction, step_count=48,
+        )
+    )
+    window = (4, 3, 10)
+    lwindow = PM.scale_light_window(window, volume.shape, lv.shape)
+    pv = PM.swizzle_volume(volume, min_window=window)
+    plv = PM.swizzle_volume(lv, min_window=lwindow)
+    got = np.asarray(
+        PM.march_lit_pallas(
+            pv, RAMP_TF, plv, rays, win, NO_CLIP.center, NO_CLIP.direction,
+            step_count=48, window=window, light_window=lwindow,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+
+
+def test_choose_window_covers_footprint():
+    volume, lv, rays = _scene()
+    cw = PM.choose_window(rays, volume.shape, 16, light_dims=lv.shape)
+    assert cw is not None
+    window, lwindow = cw
+    assert PM.fits_pallas_window(rays, volume.shape, 16, window)
+    # A window the chooser returns is never smaller than the footprint needs.
+    fp = PM.max_tile_footprint_voxels(rays, volume.shape, 16)
+    assert window[0] * 8 - 8 >= fp[0] and window[1] * 8 - 8 >= fp[1]
+    assert 2 * window[2] - 3 >= fp[2]
