@@ -107,7 +107,7 @@ def main() -> None:
     from tbraymarcherplugin_tpu.ops import pallas_march as PM
 
     cw = PM.choose_window(rays, dims, step_count) if on_tpu else None
-    march_impl = "pallas" if cw else "blocked"
+    march_impl = "pallas" if cw else "tiled2d"
     pallas_window = cw[0] if cw else None
     print(json.dumps({"detail": "march_impl", "impl": march_impl,
                       "window": pallas_window}), file=sys.stderr)
@@ -187,13 +187,14 @@ def _bench_fwd_bwd(jax, jnp, np, frame, params, rays, n_rays,
     surface (volume, TF table, window center/width, light intensities)."""
     import time as _time
 
-    # Gradients flow through the XLA blocked march (the pallas kernel is
-    # forward-only until it grows a custom VJP).
-    target_img = jax.lax.stop_gradient(frame(params, rays, impl="blocked"))
+    # Gradients flow through the XLA march (the pallas kernel is forward-only
+    # until it grows a custom VJP); 32x32 image tiles, because the flat-tile
+    # variant faults the axon TPU runtime at 1080p (see SKILL.md gotchas).
+    target_img = jax.lax.stop_gradient(frame(params, rays, impl="tiled2d"))
     target_img = jax.block_until_ready(target_img)
 
     def loss_fn(p):
-        img = frame(p, rays, impl="blocked")
+        img = frame(p, rays, impl="tiled2d")
         return jnp.mean((img - target_img) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss_fn))

@@ -13,12 +13,14 @@ from .ray_sharding import (
 )
 from .slab_sharding import (
     compute_illumination_sharded,
+    compute_illumination_sharded_v2,
     march_lit_slab_ring,
     march_lit_slab_sharded,
 )
 
 __all__ = [
     "compute_illumination_sharded",
+    "compute_illumination_sharded_v2",
     "make_mesh",
     "make_sharded_train_step",
     "march_lit_slab_ring",

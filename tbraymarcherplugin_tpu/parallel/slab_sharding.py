@@ -40,6 +40,7 @@ from ..ops.compositing import accumulate, compose_segments
 from ..ops.rays import RayBatch
 from ..ops.sampling import (
     VOLUME_DENSITY,
+    clip_soft_alpha_weight,
     is_clipped,
     sample_windowed_transfer_function,
     trilinear_sample,
@@ -334,6 +335,239 @@ def compute_illumination_sharded(
 def _trilinear_slab_z_owner(pos_z, z_dim, z_start, z_count):
     iz = jnp.clip(jnp.floor(pos_z * z_dim - 0.5), 0, z_dim - 1)
     return (iz >= z_start) & (iz < z_start + z_count)
+
+
+def _halo_z_k(slab, axis_name: str, k: int):
+    """k-plane Z halo on both sides (ring `ppermute`; global edges replicate
+    the boundary plane, matching clamp-to-edge sampling)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    recv_lo = jax.lax.ppermute(
+        slab[:, :, -k:], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    edge_lo = jnp.repeat(slab[:, :, :1], k, axis=2)
+    lo = jnp.where(idx == 0, edge_lo, recv_lo)
+    recv_hi = jax.lax.ppermute(
+        slab[:, :, :k], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    edge_hi = jnp.repeat(slab[:, :, -1:], k, axis=2)
+    hi = jnp.where(idx == n - 1, edge_hi, recv_hi)
+    return jnp.concatenate([lo, slab, hi], axis=2)
+
+
+def _local_const_shift_trilinear(slab_halo, k, vd, ld, lz, off):
+    """Slab-local version of `lighting._const_shift_trilinear`.
+
+    ``slab_halo``: my volume Z slab with a k-plane halo each side; the local
+    Z start of corner dz is ``k + floor(c_z) + dz`` independent of the shard
+    index (light and volume slabs are aligned). x/y are full axes (edge-pad
+    like the global path).
+    """
+    r = tuple(v // l for v, l in zip(vd, ld))
+    pads = tuple(
+        r[a] + 2 + -(-r[a] * ld[a] // min(ld)) for a in range(3)
+    )
+    vp = jnp.pad(
+        slab_halo, ((pads[0], pads[0]), (pads[1], pads[1]), (0, 0)),
+        mode="edge",
+    )
+    i0, frac = [], []
+    for a in range(3):
+        c = 0.5 * r[a] - 0.5 + off[a] * vd[a]
+        f = jnp.floor(c)
+        frac.append(c - f)
+        base = pads[a] if a < 2 else k
+        hi = (2 * pads[a] if a < 2 else 2 * k) + r[a] - 2
+        i0.append(jnp.clip(f.astype(jnp.int32) + base, 0, hi))
+    lz_counts = (ld[0], ld[1], lz)
+    sizes = tuple((lz_counts[a] - 1) * r[a] + 1 for a in range(3))
+
+    def corner(dx, dy, dz):
+        sl = jax.lax.dynamic_slice(
+            vp, (i0[0] + dx, i0[1] + dy, i0[2] + dz), sizes
+        )
+        return sl[:: r[0], :: r[1], :: r[2]]
+
+    fx, fy, fz = frac
+    c00 = corner(0, 0, 0) * (1 - fz) + corner(0, 0, 1) * fz
+    c01 = corner(0, 1, 0) * (1 - fz) + corner(0, 1, 1) * fz
+    c10 = corner(1, 0, 0) * (1 - fz) + corner(1, 0, 1) * fz
+    c11 = corner(1, 1, 0) * (1 - fz) + corner(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def compute_illumination_sharded_v2(
+    mesh: Mesh,
+    params: RenderParams,
+    light_plans: Sequence[LightPlan],
+    clip_center,
+    clip_direction,
+    light_dims,
+    axis: str = "slab",
+    low_cutoff: bool = True,
+    high_cutoff: bool = True,
+):
+    """Fully-sharded illumination: no all-gather of any 3D field.
+
+    v1 (:func:`compute_illumination_sharded`) computes the occluder opacity
+    shard-wise but then `all_gather`s the full opacity volume and scans it
+    replicated — O(volume) communication and replicated memory. v2 keeps
+    everything slab-sharded (SURVEY P4, the sharded-scan-with-boundary-
+    exchange design):
+
+    - the occluder field is computed per Z slab from a k-plane halo
+      (`ppermute` ring, edge replication at global boundaries) with the
+      gather-free constant-shift sampling;
+    - Z-propagating faces run the slice scan as a **device ring**: the 2D
+      carry hops owner-to-owner in propagation order (the march ring's shape,
+      `AddDirLightShader.usf:68-128` lifted to the mesh axis);
+    - X/Y-propagating faces scan their (unsharded) axis locally; only the
+      current 2D slice is all-gathered inside each step (KBs, vs the full
+      volume), and each device keeps only its Z chunk of the result.
+
+    Returns the light volume as a global array sharded ``P(None, None,
+    axis)``; values match :func:`...models.pipeline.compute_illumination`.
+    """
+    n_shards = mesh.shape[axis]
+    ld = tuple(int(d) for d in light_dims)
+    vd = tuple(int(d) for d in params.volume.shape)
+    assert ld[2] % n_shards == 0 and vd[2] % n_shards == 0
+    assert all(v % l == 0 for v, l in zip(vd, ld)), (
+        "v2 needs integer volume/light resolution ratios"
+    )
+    lz = ld[2] // n_shards
+    vz = vd[2] // n_shards
+    rz = vd[2] // ld[2]
+    win = _windowing_vec4(params, low_cutoff, high_cutoff)
+    # Halo must cover the worst-case constant shift (see pads in
+    # _local_const_shift_trilinear) plus one stride of corner advance.
+    # Halo depth: worst-case |c_z| = 0.5*rz - 0.5 + |off_z|*vd_z with
+    # |off_z| <= 1/min(ld), plus one trilinear corner and rz-1 of stride end.
+    import math as _math
+
+    k = (
+        int(_math.ceil(0.5 * rz - 0.5 + rz * ld[2] / min(ld)))
+        + 1
+        + (rz - 1)
+    )
+    assert k <= vz, (
+        "Z slab thinner than the occluder-offset halo reach; use fewer "
+        "shards or compute_illumination_sharded (v1)"
+    )
+
+    face_args = []
+    for li, plan in enumerate(light_plans):
+        for fp in plan.face_plans:
+            face_args.append((li, fp))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P()),
+        out_specs=P(None, None, axis),
+        check_vma=False,
+    )
+    def run(vol_slab, intensities):
+        my = jax.lax.axis_index(axis)
+        slab_halo = _halo_z_k(vol_slab, axis, k)
+        lv_local = jnp.zeros((ld[0], ld[1], lz), jnp.float32)
+        res = jnp.asarray(ld, jnp.float32)
+
+        for li, fp in face_args:
+            light_alpha = intensities[li] * fp.light_alpha
+            off = jnp.asarray(fp.uvw_offset, jnp.float32)
+            # --- local occluder opacity for my light-grid Z slab.
+            gx = jnp.arange(ld[0], dtype=jnp.float32)
+            gy = jnp.arange(ld[1], dtype=jnp.float32)
+            gz = jnp.arange(lz, dtype=jnp.float32) + (my * lz).astype(
+                jnp.float32
+            )
+            uvw = (
+                jnp.stack(jnp.meshgrid(gx, gy, gz, indexing="ij"), axis=-1)
+                + 0.5
+            ) / res + off
+            aw = clip_soft_alpha_weight(uvw, clip_center, clip_direction, res)
+            inside = jnp.all((uvw >= 0.0) & (uvw <= 1.0), axis=-1)
+            value = _local_const_shift_trilinear(slab_halo, k, vd, ld, lz, off)
+            opac = sample_windowed_transfer_function(
+                value, fp.step_size * VOLUME_DENSITY, params.tf_table, win
+            )[..., 3]
+            opac = jnp.where(inside & (aw > 0.0), opac * aw, 0.0)
+
+            ax = L.transposed_axes(fp.face)
+            a = L.face_axis(fp.face)
+            direction = L.face_direction(fp.face)
+            tdims = (ld[ax[0]], ld[ax[1]], ld[ax[2]])
+            off_px = fp.uv_offset[0] * tdims[0]
+            off_py = fp.uv_offset[1] * tdims[1]
+
+            opac_t = jnp.transpose(opac, ax)  # local: 3rd/2nd dim partial
+
+            def slice_update(carry, sl):
+                prev = L.shift_2d_bilinear_border(
+                    carry, off_px, off_py, light_alpha
+                )
+                cur = prev * (1.0 - sl)
+                return cur, cur
+
+            if a == 2:
+                # Ring scan along the sharded axis: carry hops in
+                # propagation order.
+                if direction == -1:
+                    opac_t = jnp.flip(opac_t, axis=2)
+                xs = jnp.moveaxis(opac_t, 2, 0)  # (lz, b0, b1)
+                carry = jnp.full((tdims[0], tdims[1]), light_alpha, jnp.float32)
+                out_local = jnp.zeros_like(xs)
+                for t in range(n_shards):
+                    owner = t if direction == 1 else n_shards - 1 - t
+
+                    def my_turn(c):
+                        return jax.lax.scan(slice_update, c, xs)
+
+                    carry, emitted = jax.lax.cond(
+                        my == owner, my_turn,
+                        lambda c: (c, jnp.zeros_like(xs)), carry,
+                    )
+                    out_local = jnp.where(my == owner, emitted, out_local)
+                    if t < n_shards - 1:
+                        shift = 1 if direction == 1 else -1
+                        carry = jax.lax.ppermute(
+                            carry, axis,
+                            [(i, (i + shift) % n_shards) for i in range(n_shards)],
+                        )
+                res_t = jnp.moveaxis(out_local, 0, 2)
+                if direction == -1:
+                    res_t = jnp.flip(res_t, axis=2)
+            else:
+                # Scan axis is unsharded; buffer dim 1 is the sharded Z.
+                if direction == -1:
+                    opac_t = jnp.flip(opac_t, axis=2)
+                xs = jnp.moveaxis(opac_t, 2, 0)  # (n_slices, b0, lz)
+
+                def sharded_step(carry, sl_local):
+                    sl_full = jax.lax.all_gather(
+                        sl_local, axis, axis=1, tiled=True
+                    )
+                    cur, _ = slice_update(carry, sl_full)
+                    mine = jax.lax.dynamic_slice_in_dim(
+                        cur, my * lz, lz, axis=1
+                    )
+                    return cur, mine
+
+                carry = jnp.full((tdims[0], tdims[1]), light_alpha, jnp.float32)
+                _, slices_local = jax.lax.scan(sharded_step, carry, xs)
+                res_t = jnp.moveaxis(slices_local, 0, 2)
+                if direction == -1:
+                    res_t = jnp.flip(res_t, axis=2)
+            inv = [0, 0, 0]
+            for i, axv in enumerate(ax):
+                inv[axv] = i
+            lv_local = lv_local + jnp.transpose(res_t, inv)
+        return lv_local
+
+    return run(params.volume, params.light_intensities)
 
 
 def _ring_march_turn(

@@ -252,3 +252,32 @@ def test_slab_ring_march_negative_z_rays():
         )
     )
     np.testing.assert_allclose(ring, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_illumination_v2_matches_single_device():
+    """v2: fully-sharded scan (ring for Z faces, slice-gather for X/Y) — no
+    3D all_gather — matches the replicated reference."""
+    from tbraymarcherplugin_tpu.parallel import compute_illumination_sharded_v2
+
+    params, rays, plans, dims = _scene()
+    # Two lights with different dominant axes so both the ring (Z) and the
+    # slice-gather (X/Y) code paths execute.
+    plans = (
+        LightPlan.create([0.2, 0.1, -0.97], dims),
+        LightPlan.create([-0.9, 0.3, 0.3], dims),
+    )
+    params = dataclasses.replace(
+        params, light_intensities=jnp.asarray([1.0, 0.7])
+    )
+    mesh = make_mesh({"slab": 8})
+    got = np.asarray(
+        compute_illumination_sharded_v2(
+            mesh, params, plans, NO_CLIP.center, NO_CLIP.direction, dims
+        )
+    )
+    want = np.asarray(
+        compute_illumination(
+            params, plans, NO_CLIP.center, NO_CLIP.direction, dims
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
