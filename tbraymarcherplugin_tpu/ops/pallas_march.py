@@ -700,8 +700,8 @@ def march_lit_pallas(
             pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 4, 8, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -391,18 +391,35 @@ class Renderer:
             from .ops import pallas_march as PM
 
             window, lwindow = cw
+            # Re-swizzles record the per-axis MAX of old and new windows so
+            # a window oscillating between e.g. (5,3,8) and (3,5,8) settles
+            # after one merge instead of re-uploading every frame.
             if self._pvol is None or any(
                 w > m for w, m in zip(window, self._pvol_minwin)
             ):
-                self._pvol = PM.swizzle_volume(self.volume, min_window=window)
-                self._pvol_minwin = window
+                merged = (
+                    window
+                    if self._pvol is None
+                    else tuple(
+                        max(w, m) for w, m in zip(window, self._pvol_minwin)
+                    )
+                )
+                self._pvol = PM.swizzle_volume(self.volume, min_window=merged)
+                self._pvol_minwin = merged
             if self._plight is None or any(
                 w > m for w, m in zip(lwindow, self._plight_minwin)
             ):
-                self._plight = PM.swizzle_volume(
-                    self.light_volume, min_window=lwindow
+                lmerged = (
+                    lwindow
+                    if self._plight is None
+                    else tuple(
+                        max(w, m) for w, m in zip(lwindow, self._plight_minwin)
+                    )
                 )
-                self._plight_minwin = lwindow
+                self._plight = PM.swizzle_volume(
+                    self.light_volume, min_window=lmerged
+                )
+                self._plight_minwin = lmerged
             return PM.march_lit_pallas(
                 self._pvol, self.tf_table, self._plight, rays, win,
                 local_clip.center, local_clip.direction, jitter=jitter,

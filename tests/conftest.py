@@ -35,6 +35,11 @@ def pytest_configure(config):
     )
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped with a per-test seed derived from the test id: every
+    # test draws the same data regardless of which other tests ran before it
+    # (a session-scoped stream made test inputs order-dependent — VERDICT r2).
+    import zlib
+
+    return np.random.default_rng(zlib.adler32(request.node.nodeid.encode()))

@@ -27,7 +27,20 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run(nprocs, out_path, timeout=420):
+def _run(nprocs, out_path, timeout=420, _attempts=3):
+    # _free_port releases the probe socket before the coordinator binds it
+    # (TOCTOU); under parallel CI another process can steal it, so retry the
+    # whole spawn on coordinator bind failure.
+    for attempt in range(_attempts):
+        try:
+            return _run_once(nprocs, out_path, timeout)
+        except AssertionError as e:
+            if attempt + 1 < _attempts and "Address already in use" in str(e):
+                continue
+            raise
+
+
+def _run_once(nprocs, out_path, timeout):
     procs = []
     port = _free_port()
     for pid in range(nprocs):
