@@ -357,3 +357,65 @@ def write_dicom(path: str, elements: dict[str, Any],
     with open(tmp, "wb") as f:
         f.write(out)
     os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# Structure dump — the debug utility the reference exposes from its import
+# dialog (`DCMTKLoader.cpp:67-82` DumpFileStructure, `:423-432`
+# PrintDebugData).
+
+
+def dump_file_structure(path: str, max_value_chars: int = 60) -> str:
+    """Human-readable dump of every element in a Part-10 file.
+
+    Unlike :func:`dcmread` (which keeps only dictionary tags), the dump walks
+    ALL elements, printing tag, VR, length, keyword (when known) and a value
+    preview — the `DumpFileStructure` equivalent (`DCMTKLoader.cpp:67-82`).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 132 + 8 or buf[128:132] != b"DICM":
+        raise InvalidDicomError(f"{path}: missing DICM magic")
+    lines = [f"# {path} ({len(buf)} bytes)"]
+    pos = 132
+    transfer_syntax = EXPLICIT_VR_LE
+    explicit = True
+    in_meta = True
+    while pos + 8 <= len(buf):
+        group = struct.unpack_from("<H", buf, pos)[0]
+        if in_meta and group != 0x0002:
+            in_meta = False
+            explicit = transfer_syntax == EXPLICIT_VR_LE
+            if transfer_syntax not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE):
+                lines.append(
+                    f"... compressed transfer syntax {transfer_syntax}; "
+                    "data set not walked"
+                )
+                break
+        tag, vr, raw, pos = _read_element(buf, pos, explicit)
+        kw = _TAG_TO_KEYWORD.get(tag, "?")
+        if raw is None:
+            preview, ln = "<sequence skipped>", "undef"
+        else:
+            ln = len(raw)
+            if tag == (0x7FE0, 0x0010):
+                head = " ".join(f"{b:02x}" for b in raw[:16])
+                preview = f"<pixel data: {head} ...>"
+            else:
+                use_vr = vr if explicit or tag[0] == 0x0002 else \
+                    _TAG_TO_VR.get(tag, "UN")
+                try:
+                    preview = repr(_parse_value(use_vr, raw))
+                except Exception:
+                    preview = raw[:16].hex()
+                if len(preview) > max_value_chars:
+                    preview = preview[: max_value_chars - 3] + "..."
+            if tag == _DICT["TransferSyntaxUID"][:2]:
+                transfer_syntax = _parse_value("UI", raw)
+        lines.append(
+            f"({tag[0]:04x},{tag[1]:04x}) {vr:2s} len={ln:>6} "
+            f"{kw:28s} {preview}"
+        )
+        if tag == (0x7FE0, 0x0010):
+            break
+    return "\n".join(lines)

@@ -123,6 +123,8 @@ def compute_illumination(
         "early_termination",
         "march_impl",
         "pallas_window",
+        "shearwarp_dtype",
+        "shearwarp_stop_early",
     ),
 )
 def render_lit_scene(
@@ -139,6 +141,9 @@ def render_lit_scene(
     early_termination: float = 0.95,
     march_impl: str = "blocked",
     pallas_window: tuple | None = None,
+    shearwarp_plan=None,
+    shearwarp_dtype=jnp.float32,
+    shearwarp_stop_early: bool = False,
 ) -> jnp.ndarray:
     """Differentiable lit render: illumination + march, one XLA computation.
 
@@ -155,6 +160,32 @@ def render_lit_scene(
         params, light_plans, clip_center, clip_direction, light_dims,
         low_cutoff, high_cutoff,
     )
+    if march_impl == "shearwarp":
+        # Shear-warp factorized fast path (`ops/shearwarp.py`): slice-plane
+        # sample parameterization instead of 1/step_count ray steps —
+        # differentiable end-to-end; rays are only used for the static
+        # screen size (the plan encodes the camera).
+        from ..ops import shearwarp as SWM
+
+        assert shearwarp_plan is not None, (
+            "march_impl='shearwarp' needs shearwarp_plan "
+            "(ops.shearwarp.plan_shearwarp)"
+        )
+        h, w = rays.thickness.shape
+        return SWM.shearwarp_lit(
+            params.volume,
+            params.tf_table,
+            lv,
+            shearwarp_plan,
+            win,
+            clip_center,
+            clip_direction,
+            w,
+            h,
+            early_termination=early_termination,
+            stop_early=shearwarp_stop_early,
+            compute_dtype=shearwarp_dtype,
+        )
     if march_impl == "pallas":
         from ..ops import pallas_march as PM
 

@@ -67,7 +67,9 @@ class RendererConfig:
     compat_final_step: bool = True
     # "auto" = fused Pallas kernel on TPU when its window-coverage contract
     # holds, else the blocked XLA march with empty-space skipping; "pallas",
-    # "blocked", "scan" force a specific implementation.
+    # "blocked", "scan" force a specific implementation. "shearwarp" selects
+    # the factorized fast path (`ops/shearwarp.py`) — highest throughput,
+    # slice-plane sample parameterization, no per-pixel jitter.
     march_impl: str = "auto"
     # Gate all-empty march blocks on the min/max-pyramid occupancy grid
     # (exact-conservative; `ops/octree.py:occupancy_grid`). Inference only:
@@ -343,6 +345,10 @@ class Renderer:
 
         mode = self.config.render_mode
         if mode == "lit":
+            if self.config.march_impl == "shearwarp":
+                return self._render_shearwarp(
+                    camera, width, height, win, local_clip
+                )
             return self._render_lit(rays, win, local_clip, jitter)
         if mode == "intensity":
             return M.march_intensity(
@@ -357,6 +363,39 @@ class Renderer:
                 early_termination=self.config.early_termination,
             )
         raise ValueError(f"unknown render mode {mode!r}")
+
+    def _render_shearwarp(self, camera, width, height, win, local_clip):
+        """Shear-warp fast path (`ops/shearwarp.py`): slice-plane sampling,
+        no per-pixel jitter; raises when the camera is inside the dominant
+        slab (callers should use march_impl='auto' for automatic fallback)."""
+        from .ops import shearwarp as SW
+
+        key = (
+            np.asarray(camera.position).tobytes(),
+            np.asarray(camera.rotation).tobytes(),
+            float(camera.tan_half_fov),
+            np.asarray(self.transform.rotation).tobytes(),
+            np.asarray(self.transform.translation).tobytes(),
+            np.asarray(self.transform.scale).tobytes(),
+            width, height, self.volume.shape, self.light_volume.shape,
+        )
+        if getattr(self, "_sw_key", None) != key:
+            self._sw_plan = SW.plan_shearwarp(
+                camera, self.transform, self.volume.shape,
+                self.light_volume.shape, width, height,
+            )
+            self._sw_key = key
+        if self._sw_plan is None:
+            raise ValueError(
+                "shear-warp factorization unavailable (camera inside the "
+                "dominant slab); use march_impl='auto' or 'blocked'"
+            )
+        return SW.shearwarp_lit(
+            self.volume, self.tf_table, self.light_volume, self._sw_plan,
+            win, local_clip.center, local_clip.direction, width, height,
+            early_termination=self.config.early_termination,
+            stop_early=True,
+        )
 
     def _pallas_windows(self, rays):
         """(window, light_window) for the fused kernel, or None to fall back.

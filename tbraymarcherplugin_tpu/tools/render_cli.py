@@ -62,9 +62,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="half-resolution light volume (the reference's "
                         "'massive speedup' knob, Readme.md:214)")
     p.add_argument("--march-impl", default="auto",
-                   choices=("auto", "pallas", "blocked", "scan"))
+                   choices=("auto", "shearwarp", "pallas", "blocked", "scan"))
     p.add_argument("--background", default="0,0,0",
                    help="background rgb for compositing")
+    p.add_argument("--dump-dicom", action="store_true",
+                   help="print the DICOM file structure and exit (the "
+                        "reference's DumpFileStructure, DCMTKLoader.cpp:67-82)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -121,6 +124,22 @@ def main(argv=None) -> int:
     from ..io import load_volume
     from ..renderer import Renderer, RendererConfig
     from ..scene import ClipPlane, DirLight
+
+    if args.dump_dicom:
+        import os
+
+        from ..io.minidicom import dump_file_structure
+
+        paths = [args.volume]
+        if os.path.isdir(args.volume):
+            paths = sorted(
+                os.path.join(args.volume, f)
+                for f in os.listdir(args.volume)
+                if f.lower().endswith(".dcm")
+            )
+        for path in paths:
+            print(dump_file_structure(path))
+        return 0
 
     w, h = (int(v) for v in args.size.lower().split("x"))
     loaded = load_volume(args.volume)

@@ -262,3 +262,25 @@ def test_dicom_extension_dispatch(tmp_path, rng):
     paths, _ = _write_ct_series(str(tmp_path), 3, rng)
     loaded = load_volume(paths[0])
     assert loaded.info.dimensions[2] == 3
+
+
+def test_dump_file_structure(tmp_path):
+    """DumpFileStructure equivalent (`DCMTKLoader.cpp:67-82`)."""
+    from tbraymarcherplugin_tpu.io import minidicom as md
+    from tbraymarcherplugin_tpu.tools.render_cli import main as cli_main
+
+    px = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    path = str(tmp_path / "a.dcm")
+    md.write_dicom(path, {
+        "SOPInstanceUID": "1.2.3", "SeriesInstanceUID": "1.2.3.4",
+        "InstanceNumber": 1, "PixelSpacing": [1.0, 1.0],
+        "SliceThickness": 2.0, "Rows": 8, "Columns": 8,
+        "BitsAllocated": 16, "PixelRepresentation": 0,
+    }, pixel_data=px)
+    dump = md.dump_file_structure(path)
+    assert "TransferSyntaxUID" in dump
+    assert "(7fe0,0010)" in dump and "pixel data" in dump
+    assert "SliceThickness" in dump and "2.0" in dump
+    # CLI surface
+    rc = cli_main([path, str(tmp_path / "out.png"), "--dump-dicom"])
+    assert rc == 0

@@ -139,3 +139,20 @@ def test_jitter_advances_frame_index():
     assert r._frame_index == 2
     # Temporal jitter: consecutive frames differ slightly.
     assert not np.array_equal(a, b)
+
+
+def test_shearwarp_mode_close_to_blocked_march():
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    r = make_renderer(march_impl="shearwarp", empty_space_skipping=False)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    img = np.asarray(r.render(cam, 48, 48))
+    assert img.shape == (48, 48, 4) and np.isfinite(img).all()
+    r2 = make_renderer(march_impl="blocked", empty_space_skipping=False)
+    r2.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    ref = np.asarray(r2.render(cam, 48, 48))
+    # different sample parameterization -> image-level tolerance
+    assert np.abs(img - ref).mean() < 0.03
+    # plan is cached across frames with the same camera
+    plan1 = r._sw_plan
+    r.render(cam, 48, 48)
+    assert r._sw_plan is plan1

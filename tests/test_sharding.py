@@ -132,6 +132,7 @@ def test_sharded_train_step_matches_single_device_grads():
     )
 
 
+@pytest.mark.slow
 def test_slab_sharded_march_matches_single_device():
     params, rays, plans, dims = _scene()
     mesh = make_mesh({"slab": 8})
@@ -157,6 +158,7 @@ def test_slab_sharded_march_matches_single_device():
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_illumination_matches_single_device():
     params, rays, plans, dims = _scene()
     mesh = make_mesh({"slab": 8})
@@ -226,6 +228,7 @@ def test_slab_ring_march_matches_single_device_with_early_termination():
     np.testing.assert_allclose(ring, single, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_slab_ring_march_negative_z_rays():
     """Rays marching toward -Z ride the ring in reverse slab order."""
     from tbraymarcherplugin_tpu.parallel import march_lit_slab_ring
@@ -254,6 +257,7 @@ def test_slab_ring_march_negative_z_rays():
     np.testing.assert_allclose(ring, single, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_illumination_v2_matches_single_device():
     """v2: fully-sharded scan (ring for Z faces, slice-gather for X/Y) — no
     3D all_gather — matches the replicated reference."""
@@ -278,6 +282,50 @@ def test_sharded_illumination_v2_matches_single_device():
     want = np.asarray(
         compute_illumination(
             params, plans, NO_CLIP.center, NO_CLIP.direction, dims
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "vdims,ldims",
+    [
+        ((32, 32, 32), (16, 16, 16)),  # half-res light: rz == 2 halo math
+        ((32, 16, 16), (32, 16, 16)),  # anisotropic dims, min(ld) bounds
+    ],
+)
+def test_sharded_illumination_v2_nonuniform_light_dims(vdims, ldims):
+    """ADVICE r2: lock in the k-plane halo sizing and the local
+    const-shift trilinear index math for rz > 1 and anisotropic dims —
+    the committed v2 test only exercised ld == vd."""
+    from tbraymarcherplugin_tpu.parallel import compute_illumination_sharded_v2
+
+    volume = synthetic.ct_like_phantom(vdims, seed=2)
+    params = RenderParams(
+        volume=jnp.asarray(volume),
+        tf_table=T.tf_from_keypoints(
+            [0, 1], [[0.2, 0.2, 0.2, 0.1], [1, 1, 1, 0.9]]
+        ),
+        window_center=jnp.asarray(0.5),
+        window_width=jnp.asarray(1.0),
+        light_intensities=jnp.asarray([1.0, 0.6]),
+    )
+    plans = (
+        LightPlan.create([0.2, 0.1, -0.97], ldims),
+        LightPlan.create([-0.9, 0.3, 0.3], ldims),
+    )
+    import jax as _jax
+
+    mesh = make_mesh({"slab": 4}, devices=_jax.devices()[:4])
+    got = np.asarray(
+        compute_illumination_sharded_v2(
+            mesh, params, plans, NO_CLIP.center, NO_CLIP.direction, ldims
+        )
+    )
+    want = np.asarray(
+        compute_illumination(
+            params, plans, NO_CLIP.center, NO_CLIP.direction, ldims
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
