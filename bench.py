@@ -154,6 +154,8 @@ def main() -> int:
             shearwarp_grid=(sw_plan.n1, sw_plan.n2) if sw_plan else None,
             pallas_window=pallas_window)
 
+    scan_impl = "pallas" if on_tpu else "xla"
+
     def frame(params, impl=impl):
         return render_lit_scene(
             params, rays, clip.center, clip.direction, plans, dims,
@@ -163,6 +165,7 @@ def main() -> int:
             shearwarp_dtype=jnp.bfloat16 if (impl == "shearwarp" and on_tpu)
             else jnp.float32,
             shearwarp_stop_early=(impl == "shearwarp"),
+            illumination_scan_impl=scan_impl,
         )
 
     def with_center(c):
@@ -212,7 +215,7 @@ def main() -> int:
 
     # --- per-stage split: illumination rebuild alone (VERDICT r2 weak #5) ---
     illum = jax.jit(lambda p: compute_illumination(
-        p, plans, clip.center, clip.direction, dims))
+        p, plans, clip.center, clip.direction, dims, scan_impl=scan_impl))
     jax.block_until_ready(illum(with_center(0.5)))
     itimes, _ = timed_loop(illum, 0.5 + 1e-4 * np.arange(frames))
     _detail(detail="stage times (ms)",

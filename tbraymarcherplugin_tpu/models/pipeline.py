@@ -86,8 +86,13 @@ def compute_illumination(
     low_cutoff=True,
     high_cutoff=True,
     apply_write_threshold: bool = False,
+    scan_impl: str = "xla",
 ):
-    """Build the illumination volume from all planned lights (traced)."""
+    """Build the illumination volume from all planned lights (traced).
+
+    ``scan_impl="pallas"`` fuses each face's slice scan into one kernel
+    launch with the carry in VMEM (TPU only; `ops/pallas_lighting.py`).
+    """
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = jnp.zeros(tuple(light_dims), jnp.float32)
     for li, plan in enumerate(light_plans):
@@ -106,6 +111,7 @@ def compute_illumination(
                 fp.face,
                 tuple(light_dims),
                 apply_write_threshold,
+                scan_impl=scan_impl,
             )
             lv = lv + contrib
     return lv
@@ -125,6 +131,7 @@ def compute_illumination(
         "pallas_window",
         "shearwarp_dtype",
         "shearwarp_stop_early",
+        "illumination_scan_impl",
     ),
 )
 def render_lit_scene(
@@ -144,6 +151,7 @@ def render_lit_scene(
     shearwarp_plan=None,
     shearwarp_dtype=jnp.float32,
     shearwarp_stop_early: bool = False,
+    illumination_scan_impl: str = "xla",
 ) -> jnp.ndarray:
     """Differentiable lit render: illumination + march, one XLA computation.
 
@@ -158,7 +166,7 @@ def render_lit_scene(
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = compute_illumination(
         params, light_plans, clip_center, clip_direction, light_dims,
-        low_cutoff, high_cutoff,
+        low_cutoff, high_cutoff, scan_impl=illumination_scan_impl,
     )
     if march_impl == "shearwarp":
         # Shear-warp factorized fast path (`ops/shearwarp.py`): slice-plane

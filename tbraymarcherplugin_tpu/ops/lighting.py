@@ -318,7 +318,11 @@ def plan_face_propagation(
     return FacePropagationPlan(face, uv_off, uvw_off, step_size, intensity_times_weight)
 
 
-@partial(jax.jit, static_argnames=("face", "light_dims", "apply_write_threshold"))
+@partial(
+    jax.jit,
+    static_argnames=("face", "light_dims", "apply_write_threshold",
+                     "scan_impl"),
+)
 def _propagate_one_face(
     volume,
     tf_table,
@@ -332,11 +336,16 @@ def _propagate_one_face(
     face: int,
     light_dims: tuple[int, int, int],
     apply_write_threshold: bool = True,
+    scan_impl: str = "xla",
 ):
     """Propagate one face's share of a light through the volume.
 
     Returns the per-voxel transmitted light (always positive), shape
     ``light_dims`` — the caller adds/subtracts it into the light volume.
+
+    ``scan_impl="pallas"`` runs the slice scan as one fused kernel with the
+    2D carry resident in VMEM (`..ops.pallas_lighting`) — identical results,
+    none of `lax.scan`'s per-slice dispatch overhead on TPU.
     """
     ax = transposed_axes(face)
     tdims = (light_dims[ax[0]], light_dims[ax[1]], light_dims[ax[2]])
@@ -360,15 +369,22 @@ def _propagate_one_face(
     off_px = uv_off[0] * tdims[0]
     off_py = uv_off[1] * tdims[1]
 
-    def slice_step(carry, slice_opacity):
-        prev = shift_2d_bilinear_border(carry, off_px, off_py, light_alpha)
-        cur = prev * (1.0 - slice_opacity)
-        return cur, cur
+    if scan_impl == "pallas":
+        from .pallas_lighting import propagate_face_scan_pallas
 
-    init = jnp.full((tdims[0], tdims[1]), light_alpha, jnp.float32)
-    _, slices = jax.lax.scan(
-        slice_step, init, jnp.moveaxis(opacity_t, 2, 0)
-    )
+        slices = propagate_face_scan_pallas(
+            jnp.moveaxis(opacity_t, 2, 0), off_px, off_py, light_alpha
+        )
+    else:
+        def slice_step(carry, slice_opacity):
+            prev = shift_2d_bilinear_border(carry, off_px, off_py, light_alpha)
+            cur = prev * (1.0 - slice_opacity)
+            return cur, cur
+
+        init = jnp.full((tdims[0], tdims[1]), light_alpha, jnp.float32)
+        _, slices = jax.lax.scan(
+            slice_step, init, jnp.moveaxis(opacity_t, 2, 0)
+        )
     result_t = jnp.moveaxis(slices, 0, 2)
     if apply_write_threshold:
         result_t = jnp.where(

@@ -136,14 +136,16 @@ def max_tile_footprint_voxels(
     """Host-side worst-case per-axis voxel footprint of a (tile, segment).
 
     Per axis: tile entry spread + segment advance ((SEG_STEPS + 2) steps,
-    covering the folded final step and jitter) + trilinear margin. The window
-    covers each (tile, segment) iff this stays within the snapped window span
-    (see :func:`fits_pallas_window`).
+    covering the folded final step and jitter, scaled by the image's actual
+    max |direction| on that axis — not the conservative 1.0) + trilinear
+    margin. The window covers each (tile, segment) iff this stays within the
+    snapped window span (see :func:`fits_pallas_window`).
     """
     dims_f = np.asarray(dims, np.float64)
     entry = np.asarray(rays.entry)
+    dirs = np.abs(np.asarray(rays.direction)).reshape(-1, 3).max(axis=0)
     h, w = entry.shape[:2]
-    seg_adv = (SEG_STEPS + 2) * dims_f / step_count  # |dir_axis| <= 1
+    seg_adv = (SEG_STEPS + 2) * dims_f * np.minimum(dirs, 1.0) / step_count
     spreads = np.zeros(3)
     for dy in range(0, max(1, h - TILE_H + 1), TILE_H):
         for dx in range(0, max(1, w - TILE_W + 1), TILE_W):
