@@ -237,31 +237,11 @@ def occupancy_grid(
     mn = _dilate3(octree.min_mips[mip], jax.lax.min, jnp.inf)
     mx = _dilate3(octree.mips[mip], jax.lax.max, -jnp.inf)
 
-    center, width = windowing_vec4[0], windowing_vec4[1]
-    low_c, high_c = windowing_vec4[2], windowing_vec4[3]
-    plo = (mn - center + 0.5 * width) / width
-    phi = (mx - center + 0.5 * width) / width
-    # width < 0 flips the interval; normalize so plo <= phi.
-    plo, phi = jnp.minimum(plo, phi), jnp.maximum(plo, phi)
-    # Cutoffs zero out samples outside [0, 1] (`WindowedSampling.usf:26-31`).
-    plo_eff = jnp.where(low_c > 0.0, jnp.maximum(plo, 0.0), plo)
-    phi_eff = jnp.where(high_c > 0.0, jnp.minimum(phi, 1.0), phi)
-    fully_cut = plo_eff > phi_eff
+    # Interval occupancy query (affine windowing + cutoffs + prefix-sum over
+    # nonzero-alpha texels; `WindowedSampling.usf:26-31` semantics).
+    from .transfer import windowed_tf_range_occupied
 
-    # TF texels touched by clamp-addressed lerp over [plo_eff, phi_eff]
-    # (`sample_tf`: x = p*R - 0.5, texels floor(x) and floor(x)+1).
-    res = tf_table.shape[0]
-    xlo = plo_eff * res - 0.5
-    xhi = phi_eff * res - 0.5
-    ilo = jnp.clip(jnp.floor(xlo), 0, res - 1).astype(jnp.int32)
-    ihi = jnp.clip(jnp.floor(xhi) + 1.0, 0, res - 1).astype(jnp.int32)
-    nz = (tf_table[:, 3] > 0.0).astype(jnp.int32)
-    csum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nz)])
-    any_nz = (csum[ihi + 1] - csum[ilo]) > 0
-
-    occ = any_nz & ~fully_cut
-    # Degenerate window (width == 0) divides by zero: everything occupied.
-    occ = occ | ~jnp.isfinite(plo) | ~jnp.isfinite(phi)
+    occ = windowed_tf_range_occupied(mn, mx, windowing_vec4, tf_table)
 
     # Drop cells that only cover pow2 padding: out-of-range positions clamp
     # onto edge *data* voxels, so the march clamps cell indices to the data

@@ -488,13 +488,34 @@ def shearwarp_intermediate(
         jnp.zeros((n1, n2), bool),
     )
     if stop_early:
+        # Empty-space skipping (forward-only, exact): a block whose slices'
+        # value range can produce no windowed-TF alpha contributes nothing —
+        # skip its resample matmuls + TF entirely. Shares the interval
+        # argument with `octree.occupancy_grid` (samples are convex
+        # combinations of the block's slice texels).
+        from .transfer import windowed_tf_range_occupied
+
+        sl_mn = jnp.min(vol_t, axis=(1, 2))  # (D,)
+        sl_mx = jnp.max(vol_t, axis=(1, 2))
+        pl_mn = pad_to(jnp.take(sl_mn, plan.m_src), Kp).reshape(nblk, B)
+        pl_mx = pad_to(jnp.take(sl_mx, plan.m_src), Kp).reshape(nblk, B)
+        blk_occ = windowed_tf_range_occupied(
+            jnp.min(pl_mn, axis=1), jnp.max(pl_mx, axis=1),
+            windowing_vec4, tf_table,
+        )  # (nblk,)
+
         def cond(state):
             b, carry = state
             return (b < nblk) & ~jnp.all(carry[2])
 
         def body(state):
             b, carry = state
-            carry, _ = block_composite(carry, b)
+            carry = jax.lax.cond(
+                blk_occ[b],
+                lambda c: block_composite(c, b)[0],
+                lambda c: c,
+                carry,
+            )
             return (b + 1, carry)
 
         _, (rgb, alpha, _) = jax.lax.while_loop(cond, body, (0, init))

@@ -123,3 +123,36 @@ STOCK_TRANSFER_FUNCTIONS = {
     "ct_soft_tissue": tf_ct_soft_tissue,
     "rainbow": tf_rainbow,
 }
+
+
+def windowed_tf_range_occupied(mn, mx, windowing_vec4, tf_table):
+    """Exact-conservative interval occupancy: can ANY value in [mn, mx]
+    produce windowed-TF alpha > 0?
+
+    Interval argument (shared by `octree.occupancy_grid` and the shear-warp
+    slab skip): trilinear samples are convex combinations so they stay in
+    [mn, mx]; windowing is affine; cutoffs clip the TF-position interval;
+    the answer is whether clamp-addressed lerp over the clipped interval
+    touches any TF texel with alpha > 0 (a prefix-sum query).
+    """
+    center, width = windowing_vec4[0], windowing_vec4[1]
+    low_c, high_c = windowing_vec4[2], windowing_vec4[3]
+    plo = (mn - center + 0.5 * width) / width
+    phi = (mx - center + 0.5 * width) / width
+    plo, phi = jnp.minimum(plo, phi), jnp.maximum(plo, phi)
+    plo_eff = jnp.where(low_c > 0.0, jnp.maximum(plo, 0.0), plo)
+    phi_eff = jnp.where(high_c > 0.0, jnp.minimum(phi, 1.0), phi)
+    fully_cut = plo_eff > phi_eff
+
+    res = tf_table.shape[0]
+    xlo = plo_eff * res - 0.5
+    xhi = phi_eff * res - 0.5
+    ilo = jnp.clip(jnp.floor(xlo), 0, res - 1).astype(jnp.int32)
+    ihi = jnp.clip(jnp.floor(xhi) + 1.0, 0, res - 1).astype(jnp.int32)
+    nz = (tf_table[:, 3] > 0.0).astype(jnp.int32)
+    csum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(nz)])
+    any_nz = (csum[ihi + 1] - csum[ilo]) > 0
+
+    occ = any_nz & ~fully_cut
+    # Degenerate window (width == 0) divides by zero: treat as occupied.
+    return occ | ~jnp.isfinite(plo) | ~jnp.isfinite(phi)

@@ -229,3 +229,24 @@ def test_plan_rejects_camera_inside_slab():
                          fov_degrees=60.0)
     # camera UVW ~ (0.51, 0.52, 0.53) -> inside every slab
     assert SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H) is None
+
+
+def test_empty_space_skipping_exact():
+    """Slab skip must not change the image (bone TF leaves empty slabs)."""
+    vol, lv, _, cam, tr, _ = _scene()
+    # TF transparent below 0.6: much of the phantom is skippable
+    tf = T.tf_from_keypoints(
+        [0, 0.59, 0.6, 1.0],
+        [[0, 0, 0, 0], [0, 0, 0, 0], [1, 0.9, 0.8, 0.5], [1, 1, 1, 1]],
+    )
+    win = jnp.asarray([0.5, 1.0, 1.0, 1.0], jnp.float32)
+    clip = ClipPlane.disabled()
+    plan = _plan(cam, tr, max_n=128)
+    args = (vol, tf, lv, plan, win, clip.center, clip.direction)
+    full = np.asarray(
+        SW.shearwarp_intermediate(*args, stop_early=False, block_size=4)
+    )
+    skip = np.asarray(
+        SW.shearwarp_intermediate(*args, stop_early=True, block_size=4)
+    )
+    np.testing.assert_allclose(skip, full, rtol=1e-6, atol=1e-7)
