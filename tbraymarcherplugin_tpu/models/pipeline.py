@@ -87,12 +87,20 @@ def compute_illumination(
     high_cutoff=True,
     apply_write_threshold: bool = False,
     scan_impl: str = "xla",
+    grad_allreduce_axis: str | None = None,
 ):
     """Build the illumination volume from all planned lights (traced).
 
     ``scan_impl="pallas"`` fuses each face's slice scan into one kernel
     launch with the carry in VMEM (TPU only; `ops/pallas_lighting.py`).
+    ``grad_allreduce_axis`` marks the parameter leaves so their cotangents
+    are psum'd here instead of by an outer bulk all-reduce
+    (`..parallel.overlap`).
     """
+    if grad_allreduce_axis is not None:
+        from ..parallel.overlap import mark_tree
+
+        params = mark_tree(params, grad_allreduce_axis)
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = jnp.zeros(tuple(light_dims), jnp.float32)
     for li, plan in enumerate(light_plans):
@@ -132,6 +140,7 @@ def compute_illumination(
         "shearwarp_dtype",
         "shearwarp_stop_early",
         "illumination_scan_impl",
+        "grad_allreduce_axis",
     ),
 )
 def render_lit_scene(
@@ -152,6 +161,7 @@ def render_lit_scene(
     shearwarp_dtype=jnp.float32,
     shearwarp_stop_early: bool = False,
     illumination_scan_impl: str = "xla",
+    grad_allreduce_axis: str | None = None,
 ) -> jnp.ndarray:
     """Differentiable lit render: illumination + march, one XLA computation.
 
@@ -163,11 +173,27 @@ def render_lit_scene(
     needs 2D (H, W) ray batches, and callers must hold the
     `pallas_march.fits_pallas_window` coverage precondition.
     """
+    if grad_allreduce_axis is not None and march_impl not in (
+        "blocked", "tiled2d", "shearwarp"
+    ):
+        raise ValueError(
+            f"grad_allreduce_axis unsupported for march_impl={march_impl!r}"
+        )
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = compute_illumination(
         params, light_plans, clip_center, clip_direction, light_dims,
         low_cutoff, high_cutoff, scan_impl=illumination_scan_impl,
+        grad_allreduce_axis=grad_allreduce_axis,
     )
+    march_volume = params.volume
+    march_tf = params.tf_table
+    march_win = win
+    if grad_allreduce_axis is not None and march_impl == "shearwarp":
+        from ..parallel.overlap import psum_cotangent
+
+        march_volume = psum_cotangent(march_volume, grad_allreduce_axis)
+        march_tf = psum_cotangent(march_tf, grad_allreduce_axis)
+        march_win = psum_cotangent(march_win, grad_allreduce_axis)
     if march_impl == "shearwarp":
         # Shear-warp factorized fast path (`ops/shearwarp.py`): slice-plane
         # sample parameterization instead of 1/step_count ray steps —
@@ -181,11 +207,11 @@ def render_lit_scene(
         )
         h, w = rays.thickness.shape
         return SWM.shearwarp_lit(
-            params.volume,
-            params.tf_table,
+            march_volume,
+            march_tf,
             lv,
             shearwarp_plan,
-            win,
+            march_win,
             clip_center,
             clip_direction,
             w,
@@ -230,6 +256,7 @@ def render_lit_scene(
             block_size=checkpoint_every,
             early_termination=early_termination,
             tile2d=(32, 32) if rays.thickness.ndim == 2 else None,
+            grad_allreduce_axis=grad_allreduce_axis,
         )
     if march_impl == "blocked":
         n_rays = int(np.prod(rays.thickness.shape))
@@ -245,6 +272,7 @@ def render_lit_scene(
                 step_count=step_count,
                 block_size=checkpoint_every,
                 early_termination=early_termination,
+                grad_allreduce_axis=grad_allreduce_axis,
             )
         return M.march_lit_blocked(
             params.volume,
@@ -257,6 +285,7 @@ def render_lit_scene(
             step_count=step_count,
             block_size=checkpoint_every,
             early_termination=early_termination,
+            grad_allreduce_axis=grad_allreduce_axis,
         )
     return M.march_lit(
         params.volume,

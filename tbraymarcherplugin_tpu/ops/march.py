@@ -201,6 +201,7 @@ def _occ_lookup(occ_grid, occ_scale, pos):
         "compat_final_step",
         "occ_scale",
         "skip_blocks",
+        "grad_allreduce_axis",
     ),
 )
 def march_lit_blocked(
@@ -219,6 +220,7 @@ def march_lit_blocked(
     occ_grid: jnp.ndarray | None = None,
     occ_scale: tuple | None = None,
     skip_blocks: bool = False,
+    grad_allreduce_axis: str | None = None,
 ) -> jnp.ndarray:
     """Block-parallel lit march — the TPU-throughput path.
 
@@ -255,6 +257,17 @@ def march_lit_blocked(
     zero-alpha samples still carry nonzero d(image)/d(tf) at the texel level,
     and a skipped block contributes exact zeros for those cotangents.
     """
+    if grad_allreduce_axis is not None:
+        # Overlapped DP gradient all-reduce (`..parallel.overlap`): the march
+        # backward runs before the illumination backward, so psum-ing its
+        # parameter cotangents here lets the reduction ride ICI while the
+        # rest of the backward still computes.
+        from ..parallel.overlap import psum_cotangent
+
+        volume = psum_cotangent(volume, grad_allreduce_axis)
+        tf_table = psum_cotangent(tf_table, grad_allreduce_axis)
+        windowing_vec4 = psum_cotangent(windowing_vec4, grad_allreduce_axis)
+
     pos0, step_vec, n_full, final_frac, step_size = _march_state(
         rays, step_count, jitter
     )
@@ -362,6 +375,7 @@ def march_lit_blocked(
         "occ_scale",
         "skip_blocks",
         "tile2d",
+        "grad_allreduce_axis",
     ),
 )
 def march_lit_tiled(
@@ -382,6 +396,7 @@ def march_lit_tiled(
     occ_scale: tuple | None = None,
     skip_blocks: bool = False,
     tile2d: tuple | None = None,
+    grad_allreduce_axis: str | None = None,
 ) -> jnp.ndarray:
     """Ray-tiled block-parallel march: bounded memory at any image size.
 
@@ -403,6 +418,16 @@ def march_lit_tiled(
     skipping, since a tile's block is skipped only when EVERY ray in it is in
     empty space. Per-ray results are unchanged (pure reordering).
     """
+    if grad_allreduce_axis is not None:
+        # Marked once at entry (not per tile): the cotangent here is the
+        # accumulated sum over tiles, psum'd after the march backward but
+        # before the illumination backward (`..parallel.overlap`).
+        from ..parallel.overlap import psum_cotangent
+
+        volume = psum_cotangent(volume, grad_allreduce_axis)
+        tf_table = psum_cotangent(tf_table, grad_allreduce_axis)
+        windowing_vec4 = psum_cotangent(windowing_vec4, grad_allreduce_axis)
+
     if tile2d is not None and len(rays.thickness.shape) == 2:
         return _march_lit_tiled2d(
             volume, tf_table, light_volume, rays, windowing_vec4,

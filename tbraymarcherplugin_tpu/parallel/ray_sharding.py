@@ -98,12 +98,20 @@ def make_sharded_train_step(
     step_count: int = 64,
     axis: str = "rays",
     optimizer=None,
+    overlap_allreduce: bool = False,
 ):
     """Build a jitted DP train step: sharded fwd+bwd with psum'd param grads.
 
     Returns ``step(params, opt_state, rays_flat, target_flat) ->
     (params, opt_state, loss)`` where ``rays_flat``/``target_flat`` lead with
     a dim divisible by the mesh's ray axis.
+
+    ``overlap_allreduce=True`` replaces the single end-of-backward bulk psum
+    with per-stage psums at the parameter use sites (`.overlap`): the march's
+    volume/TF/window cotangents all-reduce while the illumination backward is
+    still computing. Gradients are identical
+    (`tests/test_sharding.py::test_overlapped_allreduce_grads_match`);
+    `benchmarks/OVERLAP.md` documents the HLO evidence.
     """
     import optax
 
@@ -122,13 +130,17 @@ def make_sharded_train_step(
             img = render_lit_scene(
                 p_, tile_rays, clip_center, clip_direction,
                 tuple(light_plans), tuple(light_dims), step_count=step_count,
+                grad_allreduce_axis=axis if overlap_allreduce else None,
             )
             # Sum (not mean) so psum over tiles equals the global sum.
             return loss_from_image(img, tile_target)
 
         loss, grads = jax.value_and_grad(local_loss)(p)
-        # All-reduce over ICI; XLA overlaps this with the backward sweep.
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        if not overlap_allreduce:
+            # Bulk all-reduce at the end of the backward.
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, axis), grads
+            )
         loss = jax.lax.psum(loss, axis)
         return loss, grads
 

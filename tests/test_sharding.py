@@ -329,3 +329,39 @@ def test_sharded_illumination_v2_nonuniform_light_dims(vdims, ldims):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_overlapped_allreduce_grads_match():
+    """Overlap mode (per-use psum_cotangent markers, no bulk psum) must give
+    exactly the same gradients/updates as the bulk all-reduce."""
+    import optax
+
+    from tbraymarcherplugin_tpu.parallel.ray_sharding import (
+        pad_rays_for_mesh,
+    )
+
+    params, rays, plans, dims = _scene()
+    mesh = make_mesh({"rays": 8})
+    flat, _ = pad_rays_for_mesh(rays, 8)
+    target = jnp.zeros(flat.thickness.shape + (4,), jnp.float32)
+
+    def loss_fn(img, tgt):
+        return jnp.sum((img - tgt) ** 2)
+
+    outs = {}
+    for overlap in (False, True):
+        step, opt = make_sharded_train_step(
+            mesh, loss_fn, NO_CLIP.center, NO_CLIP.direction, plans, dims,
+            step_count=8, optimizer=optax.sgd(1e-2),
+            overlap_allreduce=overlap,
+        )
+        opt_state = opt.init(params)
+        new_params, _, loss = step(params, opt_state, flat, target)
+        outs[overlap] = (np.asarray(loss), new_params)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False][1]),
+        jax.tree_util.tree_leaves(outs[True][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
