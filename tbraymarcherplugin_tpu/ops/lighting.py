@@ -370,9 +370,9 @@ def _propagate_one_face(
     off_py = uv_off[1] * tdims[1]
 
     if scan_impl == "pallas":
-        from .pallas_lighting import propagate_face_scan_pallas
+        from .pallas_lighting import propagate_face_scan
 
-        slices = propagate_face_scan_pallas(
+        slices = propagate_face_scan(
             jnp.moveaxis(opacity_t, 2, 0), off_px, off_py, light_alpha
         )
     else:

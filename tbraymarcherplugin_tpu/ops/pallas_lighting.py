@@ -125,7 +125,8 @@ def propagate_face_scan_pallas(
 
     ``cur_k = shift2d_border(cur_{k-1}, off, border=alpha) * (1 - op_k)``
     with ``cur_{-1} = alpha`` everywhere; returns all ``cur_k``.
-    Forward-only (no VJP); differentiable callers use the XLA scan.
+    This raw entry has no VJP; use :func:`propagate_face_scan` for the
+    differentiable wrapper (custom adjoint shift-scan).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -161,3 +162,103 @@ def propagate_face_scan_pallas(
         interpret=interpret,
     )(sc, op)
     return out[:, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: the scan is a linear recurrence in (carry, border), so the
+# adjoint is another shift-scan, run in reverse with the transposed shift.
+#
+#   c_k = S(c_{k-1}) * (1 - o_k),   S(x) = A x + alpha*b  (border-bilinear)
+#
+# With per-slice cotangents g_k and lam_k := dL/dc_k (total):
+#   lam_k  = g_k + A^T[(1 - o_{k+1}) * lam_{k+1}]        (lam_{K-1} = g_{K-1})
+#   dL/do_k     = -pre_k * lam_k,   pre_k = S(c_{k-1})   (recomputed exactly)
+#   dL/dalpha   = <sum_k (1-o_k)*lam_k, B> + <(1-o_0)*lam_0, A@1>
+# where B = S_{alpha=1}(0) is the border-contribution field and A^T is the
+# shift by the NEGATED offset with ZERO border:
+#   (A^T g)[j] = (1-f) g[j - i0] + f g[j - i0 - 1] = shift(g, -off, border=0).
+# The offsets themselves are propagation geometry (host-planned) and are
+# treated as non-differentiable (zero gradient).
+
+
+def _propagate_scan_fwd(opacity_scan, off_px, off_py, light_alpha, interpret):
+    y = _propagate_scan_prim(
+        opacity_scan, off_px, off_py, light_alpha, interpret
+    )
+    return y, (opacity_scan, y, off_px, off_py, light_alpha)
+
+
+def _propagate_scan_bwd(interpret, res, g):
+    import jax.numpy as jnp
+
+    from .lighting import shift_2d_bilinear_border
+
+    op, y, off_px, off_py, alpha = res
+    K = op.shape[0]
+    one_minus = 1.0 - op
+
+    def shiftT(x):  # A^T: negated offset, zero border
+        return shift_2d_bilinear_border(x, -off_px, -off_py, 0.0)
+
+    def shiftS(x):  # S with the true border
+        return shift_2d_bilinear_border(x, off_px, off_py, alpha)
+
+    # reverse scan for lam_k, plus pre_k recomputation from saved outputs
+    prev_c = jnp.concatenate(
+        [jnp.full((1,) + op.shape[1:], 1.0, op.dtype) * alpha, y[:-1]], axis=0
+    )
+
+    def step(carry, inp):
+        m_next = carry  # (1 - o_{k+1}) * lam_{k+1}
+        g_k, om_k, c_prev = inp
+        lam_k = g_k + shiftT(m_next)
+        m_k = om_k * lam_k
+        pre_k = shiftS(c_prev)
+        do_k = -pre_k * lam_k
+        return m_k, (do_k, m_k, lam_k)
+
+    m_init = jnp.zeros(op.shape[1:], op.dtype)
+    _, (do, m_all, lam_all) = jax.lax.scan(
+        step, m_init, (g, one_minus, prev_c), reverse=True
+    )
+
+    border_field = shift_2d_bilinear_border(
+        jnp.zeros(op.shape[1:], op.dtype), off_px, off_py, 1.0
+    )
+    a_ones = shift_2d_bilinear_border(
+        jnp.ones(op.shape[1:], op.dtype), off_px, off_py, 0.0
+    )
+    dalpha = jnp.sum(jnp.sum(m_all, axis=0) * border_field)
+    dalpha = dalpha + jnp.sum(m_all[0] * a_ones)
+    zero = jnp.zeros_like(jnp.asarray(off_px, op.dtype))
+    return (do, zero, zero, dalpha)
+
+
+# Rebind: keep the raw kernel callable, wrap the public entry in custom_vjp.
+_propagate_scan_prim = propagate_face_scan_pallas
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def propagate_face_scan(
+    opacity_scan, off_px, off_py, light_alpha, interpret: bool | None = None
+):
+    """Differentiable fused propagation scan (custom VJP over the Pallas
+    forward; adjoint reverse shift-scan in XLA). Offsets are
+    non-differentiable geometry."""
+    return _scan_vjp(opacity_scan, off_px, off_py, light_alpha, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _scan_vjp(opacity_scan, off_px, off_py, light_alpha, interpret):
+    return _propagate_scan_prim(
+        opacity_scan, off_px, off_py, light_alpha, interpret
+    )
+
+
+def _scan_vjp_fwd(opacity_scan, off_px, off_py, light_alpha, interpret):
+    return _propagate_scan_fwd(
+        opacity_scan, off_px, off_py, light_alpha, interpret
+    )
+
+
+_scan_vjp.defvjp(_scan_vjp_fwd, _propagate_scan_bwd)

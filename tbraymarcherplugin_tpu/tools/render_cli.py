@@ -126,8 +126,6 @@ def main(argv=None) -> int:
     from ..scene import ClipPlane, DirLight
 
     if args.dump_dicom:
-        import os
-
         from ..io.minidicom import dump_file_structure
 
         paths = [args.volume]

@@ -68,6 +68,10 @@ h3 { margin: 8px 0 2px; font-size: 14px; color: #8ad; }
   <label>mode <select id="mode" onchange="upd({mode: this.value})">
     <option>lit</option><option>intensity</option><option>octree</option>
   </select></label>
+  <label>impl <select id="march_impl"
+    onchange="upd({march_impl: this.value})">
+    <option>auto</option><option>shearwarp</option><option>blocked</option>
+  </select></label>
   <label>steps <input type="range" id="steps" min="16" max="400" step="1"
     onchange="upd({steps: +this.value})"><span id="stepsv"></span></label>
   <h3>Light</h3>
@@ -128,6 +132,7 @@ async function syncState() {
     s.window_width_display;
   g('lc').checked = s.low_cutoff; g('hc').checked = s.high_cutoff;
   g('mode').value = s.mode; g('steps').value = s.steps;
+  g('march_impl').value = s.march_impl;
   g('stepsv').textContent = s.steps;
   g('laz').value = s.light_az; g('lel').value = s.light_el;
   g('lint').value = s.light_intensity;
@@ -234,6 +239,7 @@ class ViewerState:
             "low_cutoff": bool(r.windowing.low_cutoff),
             "high_cutoff": bool(r.windowing.high_cutoff),
             "mode": r.config.render_mode,
+            "march_impl": r.config.march_impl,
             "steps": r.config.step_count,
             "light_az": self.light_az,
             "light_el": self.light_el,
@@ -262,6 +268,10 @@ class ViewerState:
             r.set_high_cutoff(bool(delta["high_cutoff"]))
         if "mode" in delta:
             r.set_render_mode(delta["mode"])
+        if "march_impl" in delta:
+            assert delta["march_impl"] in ("auto", "shearwarp", "blocked",
+                                           "pallas", "scan")
+            r.config.march_impl = delta["march_impl"]
         if "steps" in delta:
             r.set_raymarch_steps(int(delta["steps"]))
         light_keys = {"light_az", "light_el", "light_intensity"}

@@ -72,3 +72,36 @@ def test_propagate_one_face_pallas_path(rng):
         got = np.asarray(L._propagate_one_face(*args, scan_impl="pallas"))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
                                    err_msg=f"face {face}")
+
+
+def test_custom_vjp_matches_xla_autodiff(rng):
+    """The adjoint shift-scan must match autodiff through the XLA scan for
+    d/d(opacity) and d/d(light_alpha); offsets are declared non-diff."""
+    shape = (10, 16, 24)
+    op = jnp.asarray(rng.random(shape, dtype=np.float32) * 0.6)
+    offx, offy = 0.8, -1.3
+    gcot = jnp.asarray(rng.random(shape, dtype=np.float32))
+
+    from tbraymarcherplugin_tpu.ops.pallas_lighting import propagate_face_scan
+
+    def loss_pallas(o, a):
+        return jnp.sum(propagate_face_scan(o, offx, offy, a, interpret=True)
+                       * gcot)
+
+    def loss_xla_traced(o, a):
+        def step(carry, s):
+            prev = L.shift_2d_bilinear_border(carry, offx, offy, a)
+            cur = prev * (1.0 - s)
+            return cur, cur
+
+        init = jnp.full(o.shape[1:], a, jnp.float32)
+        _, slices = jax.lax.scan(step, init, o)
+        return jnp.sum(slices * gcot)
+
+    a0 = jnp.asarray(0.83)
+    go_p, ga_p = jax.grad(loss_pallas, argnums=(0, 1))(op, a0)
+    go_x, ga_x = jax.grad(loss_xla_traced, argnums=(0, 1))(op, a0)
+    np.testing.assert_allclose(np.asarray(go_p), np.asarray(go_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_x),
+                               rtol=1e-5, atol=1e-6)
