@@ -266,6 +266,7 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
     import time as _time
 
     impl = "shearwarp" if sw_plan is not None else "tiled2d"
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
 
     def fwd(p):
         return render_lit_scene(
@@ -273,6 +274,9 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
             step_count=step_count, march_impl=impl,
             shearwarp_plan=sw_plan if impl == "shearwarp" else None,
             shearwarp_stop_early=False,
+            # The pallas scan has a custom VJP (adjoint shift-scan), so the
+            # fused illumination forward is usable under value_and_grad.
+            illumination_scan_impl="pallas" if on_tpu else "xla",
         )
 
     target_img = jax.lax.stop_gradient(fwd(params))

@@ -409,6 +409,7 @@ def compute_light_contribution(
     intensity,
     light_dims: tuple[int, int, int],
     apply_write_threshold: bool = True,
+    scan_impl: str = "xla",
 ):
     """Total transmitted-light field of one directional light (both axes).
 
@@ -440,6 +441,7 @@ def compute_light_contribution(
             face,
             light_dims,
             apply_write_threshold,
+            scan_impl=scan_impl,
         )
         total = total + contrib
     return total
@@ -456,6 +458,7 @@ def add_dir_light(
     intensity,
     added: bool = True,
     apply_write_threshold: bool = True,
+    scan_impl: str = "xla",
 ):
     """Add (or remove, ``added=False``) one directional light's contribution.
 
@@ -472,6 +475,7 @@ def add_dir_light(
         intensity,
         light_volume.shape,
         apply_write_threshold,
+        scan_impl=scan_impl,
     )
     return light_volume + (contrib if added else -contrib)
 
@@ -488,6 +492,7 @@ def change_dir_light(
     new_local_dir,
     new_intensity,
     apply_write_threshold: bool = True,
+    scan_impl: str = "xla",
 ):
     """Selective light update: swap one light's old parameters for new ones.
 
@@ -503,10 +508,12 @@ def change_dir_light(
     old_c = compute_light_contribution(
         volume, tf_table, windowing_vec4, clip_center, clip_direction,
         old_local_dir, old_intensity, light_volume.shape, False,
+        scan_impl=scan_impl,
     )
     new_c = compute_light_contribution(
         volume, tf_table, windowing_vec4, clip_center, clip_direction,
         new_local_dir, new_intensity, light_volume.shape, False,
+        scan_impl=scan_impl,
     )
     delta = new_c - old_c
     if apply_write_threshold:
@@ -529,6 +536,7 @@ def reset_all_lights(
     lights_local,  # sequence of (local_dir, intensity)
     light_dims,
     apply_write_threshold: bool = True,
+    scan_impl: str = "xla",
 ):
     """Full illumination rebuild: clear + add every light
     (`ARaymarchVolume::ResetAllLights`, `RaymarchVolume.cpp:418-451`)."""
@@ -537,5 +545,6 @@ def reset_all_lights(
         lv = add_dir_light(
             lv, volume, tf_table, windowing_vec4, clip_center, clip_direction,
             local_dir, intensity, True, apply_write_threshold,
+            scan_impl=scan_impl,
         )
     return lv

@@ -71,6 +71,9 @@ class RendererConfig:
     # the factorized fast path (`ops/shearwarp.py`) — highest throughput,
     # slice-plane sample parameterization, no per-pixel jitter.
     march_impl: str = "auto"
+    # Illumination slice-scan implementation: "auto" = fused Pallas kernel
+    # (carry in VMEM, `ops/pallas_lighting.py`) on TPU, XLA lax.scan on CPU.
+    illumination_scan: str = "auto"
     # Gate all-empty march blocks on the min/max-pyramid occupancy grid
     # (exact-conservative; `ops/octree.py:occupancy_grid`). Inference only:
     # the renderer is not differentiated through.
@@ -231,6 +234,7 @@ class Renderer:
                 self.light_volume, *self._light_args(),
                 self._local_dir(light), light.intensity, added=False,
                 apply_write_threshold=self.config.apply_write_threshold,
+                scan_impl=self._scan_impl(),
             )
             self._maybe_quantize()
 
@@ -239,6 +243,12 @@ class Renderer:
         self.lights[name] = light
 
     # --- illumination maintenance (the Tick logic) ---------------------------
+
+    def _scan_impl(self):
+        cfg = self.config.illumination_scan
+        if cfg != "auto":
+            return cfg
+        return "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
     def _light_args(self):
         local_clip = self.transform.local_clip_plane(self.clip_plane)
@@ -273,6 +283,7 @@ class Renderer:
             lv = L.add_dir_light(
                 lv, *args, self._local_dir(light), light.intensity,
                 apply_write_threshold=self.config.apply_write_threshold,
+                scan_impl=self._scan_impl(),
             )
         self.light_volume = lv
         self._maybe_quantize()
@@ -318,6 +329,7 @@ class Renderer:
                 old_local, old_intensity,
                 self._local_dir(light), light.intensity,
                 apply_write_threshold=self.config.apply_write_threshold,
+                scan_impl=self._scan_impl(),
             )
             self._prev_lights[name] = self._light_key(light)
         self._maybe_quantize()
