@@ -250,3 +250,75 @@ def test_empty_space_skipping_exact():
         SW.shearwarp_intermediate(*args, stop_early=True, block_size=4)
     )
     np.testing.assert_allclose(skip, full, rtol=1e-6, atol=1e-7)
+
+
+def test_warp_swap_path_matches_reference():
+    """A 90-degree-rolled camera flips the screen/grid axis pairing
+    (swap_warp=True) — both passes must still match the oracle."""
+    import dataclasses as _dc
+
+    cam = Camera.look_at([0.1, -2.3, 0.4], [0.0, 0.0, 0.0], fov_degrees=40.0)
+    # roll 90 deg: swap right/up rows of the rotation
+    rot = np.asarray(cam.rotation)
+    rolled = np.stack([rot[1], -rot[0], rot[2]])
+    cam = _dc.replace(cam, rotation=jnp.asarray(rolled, jnp.float32))
+    tr = VolumeTransform.create()
+    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=128)
+    assert plan is not None and plan.swap_warp, "roll should trigger swap"
+    rng = np.random.default_rng(11)
+    inter = jnp.asarray(rng.random((plan.n1, plan.n2, 4)), jnp.float32)
+    got = np.asarray(SW.warp_to_screen(inter, plan, W, H))
+    want = SW.warp_reference(inter, plan, W, H)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    assert got.max() > 0.05
+
+
+def test_nonpow2_anisotropic_dims_match_reference():
+    dims = (24, 20, 28)
+    vol = jnp.asarray(synthetic.ct_like_phantom(dims, seed=4))
+    ld = (12, 10, 14)
+    x, y, z = np.meshgrid(*[np.linspace(0, 1, d) for d in ld], indexing="ij")
+    lv = jnp.asarray(0.3 + 0.7 * x * y, jnp.float32)
+    tf = T.tf_ct_bone()
+    cam = Camera.look_at([0.4, -2.1, 0.6], [0.0, 0.0, 0.0], fov_degrees=35.0)
+    tr = VolumeTransform.create()
+    win = jnp.asarray([0.45, 0.8, 1.0, 1.0], jnp.float32)
+    clip = ClipPlane.disabled()
+    plan = SW.plan_shearwarp(cam, tr, dims, ld, W, H, max_n=128)
+    assert plan is not None
+    got = np.asarray(
+        SW.shearwarp_intermediate(
+            vol, tf, lv, plan, win, clip.center, clip.direction
+        )
+    )
+    want = SW.shearwarp_reference(
+        vol, tf, lv, plan, win, clip.center, clip.direction
+    )
+    # non-pow2 dims: plane depths are not exactly representable, the oracle's
+    # trilinear picks up an O(1e-7) cross-slice blend the factorized path
+    # (exact in-plane bilinear) does not — tolerance instead of exactness.
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("axis,sign", [(0, 1), (1, -1), (2, 1)])
+def test_axis_aligned_cameras(axis, sign):
+    """Near-axis-aligned views for all three dominant axes, both traversal
+    directions. Slightly off-axis: an EXACTLY aligned camera puts sample
+    points exactly on cube faces, where the fast path's f32 in-cube mask and
+    the oracle's f64 one legitimately round the boundary differently."""
+    vol, lv, tf, _, tr, win = _scene()
+    pos = [0.5004, 0.4997, 0.5003]
+    pos[axis] = 0.5 + sign * 2.5
+    cam = Camera.look_at(pos, [0.5, 0.5, 0.5], fov_degrees=30.0)
+    clip = ClipPlane.disabled()
+    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=128)
+    assert plan is not None and plan.axis == axis
+    got = np.asarray(
+        SW.shearwarp_intermediate(
+            vol, tf, lv, plan, win, clip.center, clip.direction
+        )
+    )
+    want = SW.shearwarp_reference(
+        vol, tf, lv, plan, win, clip.center, clip.direction
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
