@@ -13,6 +13,7 @@ from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -30,6 +31,12 @@ class FitConfig:
     optimize_lights: bool = False
     step_count: int = 64  # march steps during fitting
     tf_smoothness_weight: float = 1e-3
+    # Renderer for the differentiable forward: "blocked" (exact reference
+    # parameterization) or "shearwarp" (factorized fast path; needs
+    # shearwarp_plan from ops.shearwarp.plan_shearwarp).
+    march_impl: str = "blocked"
+    shearwarp_plan: object = None
+    illumination_scan: str = "xla"
 
 
 def image_loss(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +62,9 @@ def make_loss_fn(
         img = render_lit_scene(
             params, rays, clip_center, clip_direction,
             light_plans, light_dims, step_count=config.step_count,
+            march_impl=config.march_impl,
+            shearwarp_plan=config.shearwarp_plan,
+            illumination_scan_impl=config.illumination_scan,
         )
         loss = image_loss(img, target)
         if config.tf_smoothness_weight:
@@ -87,10 +97,14 @@ def fit(
     light_dims: tuple,
     config: Optional[FitConfig] = None,
     callback=None,
+    return_metrics: bool = False,
 ):
     """Gradient-descend the render parameters toward a target image.
 
-    Returns (params, losses). A jitted update step; masked leaves stay frozen.
+    Returns ``(params, losses)`` — or ``(params, losses, metrics)`` with
+    ``return_metrics=True``: a list of per-step dicts (loss, per-leaf grad
+    norms, rays/s, ms/step) for observability (SURVEY §5 metrics/logging).
+    A jitted update step; masked leaves stay frozen.
     """
     config = config or FitConfig()
     loss_fn = make_loss_fn(
@@ -103,6 +117,16 @@ def fit(
     @jax.jit
     def train_step(params, opt_state):
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorms = {
+            "grad_norm/" + name: jnp.linalg.norm(jnp.ravel(leaf))
+            for name, leaf in (
+                ("volume", grads.volume),
+                ("tf_table", grads.tf_table),
+                ("window_center", grads.window_center),
+                ("window_width", grads.window_width),
+                ("light_intensities", grads.light_intensities),
+            )
+        }
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -112,13 +136,27 @@ def fit(
             tf_table=jnp.clip(params.tf_table, 0.0, 1.0),
             window_width=jnp.maximum(params.window_width, 1e-3),
         )
-        return params, opt_state, loss
+        return params, opt_state, loss, gnorms
 
+    import time as _time
+
+    n_rays = int(np.prod(rays.thickness.shape))
     params = init_params
     losses = []
+    metrics = []
     for step in range(config.steps):
-        params, opt_state, loss = train_step(params, opt_state)
-        losses.append(float(loss))
+        t0 = _time.perf_counter()
+        params, opt_state, loss, gnorms = train_step(params, opt_state)
+        loss = float(jax.block_until_ready(loss))
+        dt = _time.perf_counter() - t0
+        losses.append(loss)
+        if return_metrics:
+            m = {k: float(v) for k, v in gnorms.items()}
+            m.update(loss=loss, ms_per_step=dt * 1e3,
+                     rays_per_s=n_rays / dt)
+            metrics.append(m)
         if callback is not None:
-            callback(step, params, float(loss))
+            callback(step, params, loss)
+    if return_metrics:
+        return params, losses, metrics
     return params, losses

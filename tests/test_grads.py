@@ -191,3 +191,45 @@ def test_gradients_flow_through_early_termination():
         dataclasses.replace(params, window_center=c), rays, kwargs
     ))(jnp.asarray(0.45))
     assert np.isfinite(float(g))
+
+
+@pytest.mark.slow
+def test_fit_through_shearwarp_with_metrics():
+    """Inverse rendering through the shear-warp fast path: recovers the
+    window center and emits the per-step metrics dict (SURVEY §5)."""
+    import dataclasses as _dc
+
+    from tbraymarcherplugin_tpu.ops import shearwarp as SW
+    from tbraymarcherplugin_tpu.scene import Camera, VolumeTransform
+
+    params, rays, kwargs = _setup(img=32, dims=(16, 16, 16), step_count=16)
+    cam = Camera.look_at([0.2, -2.4, 0.4], [0.0, 0.0, 0.0], fov_degrees=32.0)
+    tr = VolumeTransform.create()
+    plan = SW.plan_shearwarp(cam, tr, (16, 16, 16), (16, 16, 16), 32, 32,
+                             max_n=64)
+    assert plan is not None
+    from tbraymarcherplugin_tpu.models import render_lit_scene
+
+    true_params = params
+    # Same forward configuration the fit's loss uses (pipeline defaults),
+    # so the optimum is exactly the true parameters.
+    target = render_lit_scene(
+        true_params, rays, kwargs["clip_center"], kwargs["clip_direction"],
+        kwargs["light_plans"], kwargs["light_dims"],
+        step_count=16, march_impl="shearwarp", shearwarp_plan=plan,
+    )
+    init = _dc.replace(params, window_center=jnp.asarray(0.6))
+    cfg = FitConfig(
+        steps=120, learning_rate=2e-2, optimize_tf=False,
+        optimize_window=True, step_count=16, tf_smoothness_weight=0.0,
+        march_impl="shearwarp", shearwarp_plan=plan,
+    )
+    fitted, losses, metrics = fit(
+        init, rays, target, kwargs["clip_center"], kwargs["clip_direction"],
+        kwargs["light_plans"], kwargs["light_dims"], cfg,
+        return_metrics=True,
+    )
+    assert losses[-1] < losses[0] * 0.35, (losses[0], losses[-1])
+    assert abs(float(fitted.window_center) - 0.45) < abs(0.6 - 0.45)
+    assert metrics and "grad_norm/window_center" in metrics[0]
+    assert metrics[0]["rays_per_s"] > 0
