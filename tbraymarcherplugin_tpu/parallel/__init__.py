@@ -11,6 +11,8 @@ from .ray_sharding import (
     pad_rays_for_mesh,
     render_lit_sharded,
 )
+from .overlap import psum_cotangent
+from .shearwarp_sharding import shearwarp_lit_sharded
 from .slab_sharding import (
     compute_illumination_sharded,
     compute_illumination_sharded_v2,
@@ -26,7 +28,9 @@ __all__ = [
     "march_lit_slab_ring",
     "march_lit_slab_sharded",
     "pad_rays_for_mesh",
+    "psum_cotangent",
     "render_lit_sharded",
+    "shearwarp_lit_sharded",
     "replicated",
     "sharded_along",
 ]

@@ -93,6 +93,7 @@ def test_pallas_march_early_termination():
     assert np.isclose(got[16, 16, 3], 1.0)
 
 
+@pytest.mark.slow
 def test_pallas_march_compat_final_step_flag():
     volume = jnp.full((16, 16, 16), 0.3, jnp.float32)
     lv = jnp.ones((8, 8, 8), jnp.float32)
@@ -108,6 +109,7 @@ def test_pallas_march_compat_final_step_flag():
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pallas_march_full_res_light():
     # Light volume at (almost) volume resolution exercises the 3x3 light
     # window path.

@@ -365,3 +365,32 @@ def test_overlapped_allreduce_grads_match():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_shearwarp_matches_single_device():
+    from tbraymarcherplugin_tpu.ops import shearwarp as SW
+    from tbraymarcherplugin_tpu.parallel import shearwarp_lit_sharded
+
+    dims = (16, 16, 16)
+    vol = jnp.asarray(synthetic.ct_like_phantom(dims, seed=1))
+    lv = jnp.ones(dims, jnp.float32)
+    tf = T.tf_ct_bone()
+    cam = Camera.look_at([0.15, -2.3, 0.35], [0, 0, 0], fov_degrees=35.0)
+    tr = VolumeTransform.create()
+    win = jnp.asarray([0.5, 0.9, 1.0, 1.0], jnp.float32)
+    W, H = 64, 48
+    plan = SW.plan_shearwarp(cam, tr, dims, dims, W, H, max_n=128, align=8)
+    assert plan is not None and plan.n2 % 8 == 0
+    single = np.asarray(
+        SW.shearwarp_lit(vol, tf, lv, plan, win, NO_CLIP.center,
+                         NO_CLIP.direction, W, H)
+    )
+    mesh = make_mesh({"rays": 8})
+    sharded = np.asarray(
+        shearwarp_lit_sharded(
+            mesh, vol, tf, lv, plan, win, NO_CLIP.center, NO_CLIP.direction,
+            W, H,
+        )
+    )
+    assert single[..., 3].max() > 0.1
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
