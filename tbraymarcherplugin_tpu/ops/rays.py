@@ -101,6 +101,40 @@ def setup_rays(
     return RayBatch(entry=entry, direction=dirs_local, thickness=thickness)
 
 
+def scene_depth_from_plane(
+    camera: Camera,
+    transform: VolumeTransform,
+    width: int,
+    height: int,
+    plane_point,
+    plane_normal,
+) -> jnp.ndarray:
+    """Per-pixel occluder depth for an opaque world-space plane, in the
+    local-ray units :func:`setup_rays`'s ``scene_depth`` expects.
+
+    The reference reads the engine depth buffer (`CalcSceneDepth`,
+    `RaymarchMaterialCommon.usf:26-44`); there is no engine here, so this is
+    the depth *producer* for analytic occluders (and the reference
+    implementation for wiring externally-rendered depth maps: convert world
+    distance to distance along the normalized local-space ray).
+
+    Returns (H, W) distances along each local ray (+inf where the plane is
+    behind the camera or parallel).
+    """
+    origins_w, dirs_w = camera_rays(camera, width, height)
+    origin_l = transform.world_to_uvw(origins_w)
+    dirs_l = transform.inverse_transform_vector(dirs_w)
+    dirs_l = dirs_l / jnp.linalg.norm(dirs_l, axis=-1, keepdims=True)
+    # Plane to local space: x_w = (x_l * s) @ R + t  =>  n_l = (n_w @ R^T) * s
+    n_w = jnp.asarray(plane_normal, jnp.float32)
+    n_l = (n_w @ transform.rotation.T) * transform.scale
+    p_l = transform.world_to_uvw(jnp.asarray(plane_point, jnp.float32))
+    denom = jnp.sum(dirs_l * n_l, axis=-1)
+    tnum = jnp.sum((p_l - origin_l) * n_l, axis=-1)
+    t = tnum / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    return jnp.where((jnp.abs(denom) < 1e-12) | (t <= 0.0), jnp.inf, t)
+
+
 def pcg_hash_3d(x, y, z):
     """PCG-style 3D hash -> uint32, a stand-in for UE's `Rand3DPCG16`
     used by `JitterEntryPos` (`RaymarchMaterialCommon.usf:73-78`)."""

@@ -83,3 +83,46 @@ def test_jitter_range_and_determinism():
     assert np.all((j1 >= 0.0) & (j1 < 1.0))
     assert np.array_equal(j1, j2)
     assert not np.array_equal(j1, np.asarray(R.jitter_values(16, 8, frame_index=4)))
+
+
+def test_scene_depth_from_plane_clamps_march():
+    """End-to-end scene-depth occlusion (`RaymarchMaterialCommon.usf:26-44`):
+    an opaque plane halfway through the cube clamps ray thickness and
+    changes the render; rays in front of the plane are unaffected."""
+    import jax.numpy as jnp
+
+    from tbraymarcherplugin_tpu.ops import march as M
+    from tbraymarcherplugin_tpu.ops import synthetic
+    from tbraymarcherplugin_tpu.ops import transfer as T
+    from tbraymarcherplugin_tpu.ops.rays import (
+        scene_depth_from_plane, setup_rays,
+    )
+    from tbraymarcherplugin_tpu.scene import Camera, VolumeTransform
+
+    dims = (16, 16, 16)
+    vol = synthetic.ct_like_phantom(dims, seed=0)
+    lv = jnp.ones(dims, jnp.float32)
+    tf = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0.01], [1, 1, 1, 0.12]])
+    cam = Camera.look_at([0.0, -2.4, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    tr = VolumeTransform.create()
+    W, H = 24, 24
+    # Opaque plane at y=0 (cube center), facing the camera.
+    depth = scene_depth_from_plane(cam, tr, W, H, [0.0, 0.0, 0.0],
+                                   [0.0, -1.0, 0.0])
+    assert np.isfinite(np.asarray(depth)).all()
+    rays_free = setup_rays(cam, tr, W, H)
+    rays_occl = setup_rays(cam, tr, W, H, scene_depth=depth)
+    th_f = np.asarray(rays_free.thickness)
+    th_o = np.asarray(rays_occl.thickness)
+    assert (th_o <= th_f + 1e-6).all()
+    assert (th_o < th_f - 1e-3).any(), "the plane should clamp some rays"
+    win = jnp.asarray([0.5, 1.0, 0.0, 0.0], jnp.float32)
+    cc = jnp.asarray([0.0, 0.0, -1e6], jnp.float32)
+    cd = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    img_f = np.asarray(M.march_lit(jnp.asarray(vol), tf, lv, rays_free, win,
+                                   cc, cd, step_count=24))
+    img_o = np.asarray(M.march_lit(jnp.asarray(vol), tf, lv, rays_occl, win,
+                                   cc, cd, step_count=24))
+    # occluded rays integrate only the front half: clearly less alpha
+    assert img_o[..., 3].sum() < img_f[..., 3].sum() * 0.95
+    assert np.abs(img_o - img_f).max() > 0.02
