@@ -124,6 +124,14 @@ def main():
                 p, plans, clip.center, clip.direction, dims, scan_impl=s))
             timed(lambda i, f=f: f(params_with(i)), frames=3,
                   tag=f"illumination {scan}")
+        # half-res light volume: the reference's "massive speedup" knob
+        half = tuple(d // 2 for d in dims)
+        hplans = (LightPlan.create([0.3, 0.1, -0.95], half),)
+        fh = jax.jit(lambda p: compute_illumination(
+            p, hplans, clip.center, clip.direction, half,
+            scan_impl="pallas"))
+        timed(lambda i: fh(params_with(i)), frames=3,
+              tag="illumination pallas half-res")
 
     if want("pallas"):
         from tbraymarcherplugin_tpu.ops import pallas_march as PM

@@ -194,7 +194,6 @@ def _propagate_scan_bwd(interpret, res, g):
     from .lighting import shift_2d_bilinear_border
 
     op, y, off_px, off_py, alpha = res
-    K = op.shape[0]
     one_minus = 1.0 - op
 
     def shiftT(x):  # A^T: negated offset, zero border

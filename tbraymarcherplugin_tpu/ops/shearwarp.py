@@ -224,7 +224,10 @@ def plan_shearwarp(
         g = g[g > 1e-12]
         if g.size == 0:
             return None
-        return float(np.percentile(g, 5))
+        # Median screen-projected footprint per pixel: matches the typical
+        # pixel's sampling density. (The 5th percentile blew the grid up
+        # ~2.2x per axis at 1080p -> ~5x the samples and an HBM OOM.)
+        return float(np.median(g))
 
     s1 = spacing(p1)
     s2 = spacing(p2)
@@ -237,6 +240,14 @@ def plan_shearwarp(
 
     n1 = choose_n(g1hi - g1lo, s1, vol_dims[a1_axis])
     n2 = choose_n(g2hi - g2lo, s2, vol_dims[a2_axis])
+    # Total-sample budget: the composite materializes (block, n1, n2) f32
+    # fields; cap the grid near the screen's own pixel count so HBM peak
+    # stays bounded regardless of camera.
+    max_pixels = max(width * height, 256 * 256)
+    if n1 * n2 > max_pixels:
+        scale = math.sqrt(max_pixels / (n1 * n2))
+        n1 = max(align, int(n1 * scale) // align * align)
+        n2 = max(align, int(n2 * scale) // align * align)
     d1 = (g1hi - g1lo) / n1
     d2 = (g2hi - g2lo) / n2
 
