@@ -206,6 +206,25 @@ def render_lit_scene(
             "(ops.shearwarp.plan_shearwarp)"
         )
         h, w = rays.thickness.shape
+        if shearwarp_stop_early and jax.default_backend() != "cpu":
+            # Forward-only fast path: fused Pallas composite (TF via lane
+            # shuffles, per-tile early exit + chunk ESS) + banded-gather
+            # warp — XLA lowers both ops' gathers to ~90M elem/s otherwise.
+            from ..ops.pallas_warp import warp_to_screen_fused
+            from ..ops.shearwarp_pallas import shearwarp_intermediate_fused
+
+            inter = shearwarp_intermediate_fused(
+                march_volume,
+                march_tf,
+                lv,
+                shearwarp_plan,
+                march_win,
+                clip_center,
+                clip_direction,
+                early_termination=early_termination,
+                compute_dtype=shearwarp_dtype,
+            )
+            return warp_to_screen_fused(inter, shearwarp_plan, w, h)
         return SWM.shearwarp_lit(
             march_volume,
             march_tf,

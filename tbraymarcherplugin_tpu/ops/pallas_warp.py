@@ -1,0 +1,175 @@
+"""Pallas banded-gather kernel for the shear-warp screen resample.
+
+The two-pass homography warp (`shearwarp.warp_to_screen`) is per-row
+monotone 1D linear interpolation — but XLA lowers `take_along_axis` on this
+TPU to ~90M elem/s scalarized gathers (~0.3 s/frame for the warp alone).
+This kernel exploits the monotone structure: for each (8 rows x 128 cols)
+output tile, 128 consecutive indices span at most ~`scale * 128` source
+texels, so ONE dynamic-start banded DMA (8 x BAND) pulls everything needed
+into VMEM and the gather becomes BAND/128 lane shuffles per tap.
+
+Out-of-band indices clamp to the band edge — reachable only under extreme
+minification (> BAND/128 source texels per output pixel), far below the
+sampling density `plan_shearwarp` chooses; the clamp degrades those
+already-subpixel regions instead of faulting.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BAND = 384  # source texels DMA'd per output tile (128-aligned start)
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _band_kernel(idx_ref, rows_hbm, out_ref, band, sem, *, n_src):
+    i0 = pl.program_id(0) * 8
+    idx = idx_ref[:]  # (8, 128) f32 source coordinates
+    # Lane-dim DMA slices must start 128-aligned (Mosaic tiling); widen the
+    # band by one register instead.
+    start = jnp.clip(
+        jnp.floor(jnp.min(idx)).astype(jnp.int32), 0, max(n_src - BAND, 0)
+    )
+    start = pl.multiple_of((start // 128) * 128, 128)
+    pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(i0, 8), pl.ds(start, BAND)], band, sem
+    ).start()
+    pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(i0, 8), pl.ds(start, BAND)], band, sem
+    ).wait()
+
+    local = jnp.clip(idx - start.astype(jnp.float32), 0.0,
+                     float(BAND - 1) - 1e-3)
+    l0 = jnp.floor(local)
+    fr = local - l0
+    l0i = l0.astype(jnp.int32)
+
+    def tap(dl):
+        li = jnp.clip(l0i + dl, 0, BAND - 1)
+        lane = li & 127
+        seg = li >> 7
+        out = jnp.zeros((8, 128), jnp.float32)
+        b = band[:]
+        for s in range(BAND // 128):
+            g = jnp.take_along_axis(b[:, s * 128:(s + 1) * 128], lane, axis=1)
+            out = jnp.where(seg == s, g, out)
+        return out
+
+    out_ref[:] = tap(0) * (1.0 - fr) + tap(1) * fr
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def banded_row_lerp(rows: jnp.ndarray, idx: jnp.ndarray,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """out[r, q] = lerp(rows[r], idx[r, q]) with clamp-to-edge — the Pallas
+    fast path for per-row monotone-band index arrays (see module docstring;
+    exactness oracle: `shearwarp._lerp_take`)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, N = (int(d) for d in rows.shape)
+    Rq, Q = (int(d) for d in idx.shape)
+    assert R == Rq, (R, Rq)
+    Rp, Qp, Np = _ceil_to(R, 8), _ceil_to(Q, 128), max(_ceil_to(N, 128), BAND)
+    rows_p = jnp.pad(rows, ((0, Rp - R), (0, Np - N)), mode="edge")
+    # clamp-to-edge semantics of _lerp_take: clip indices to the REAL range.
+    # Edge-mode padding keeps each tile's index band tight — zero padding
+    # would drag a boundary tile's band start to 0 and clamp real indices.
+    idx_p = jnp.pad(
+        jnp.clip(idx, 0.0, float(N - 1)), ((0, Rp - R), (0, Qp - Q)),
+        mode="edge",
+    )
+    out = pl.pallas_call(
+        partial(_band_kernel, n_src=Np),
+        out_shape=jax.ShapeDtypeStruct((Rp, Qp), jnp.float32),
+        grid=(Rp // 8, Qp // 128),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, BAND), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(idx_p, rows_p)
+    return out[:R, :Q]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def warp_to_screen_fused(
+    intermediate: jnp.ndarray,
+    plan,
+    width: int,
+    height: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in fast version of :func:`.shearwarp.warp_to_screen`: identical
+    two-pass definition, gathers via :func:`banded_row_lerp`."""
+    p1r, p2r, pdr = plan.p1row, plan.p2row, plan.pdrow
+    if plan.swap_warp:
+        perm = jnp.asarray([1, 0, 2])
+        p1r, p2r, pdr = p1r[perm], p2r[perm], pdr[perm]
+        W, H = height, width
+    else:
+        W, H = width, height
+
+    o1, d1, o2, d2 = plan.o1, plan.d1, plan.o2, plan.d2
+    n1, n2 = plan.n1, plan.n2
+    u = jnp.arange(W, dtype=jnp.float32)
+    v = jnp.arange(H, dtype=jnp.float32)
+
+    jj = jnp.arange(n2, dtype=jnp.float32)
+    p2_of_j = o2 + (jj + 0.5) * d2
+    n2u = p2r[0] * u[:, None] + p2r[2]
+    dnu = pdr[0] * u[:, None] + pdr[2]
+    denv = p2r[1] - p2_of_j[None, :] * pdr[1]
+    denv = jnp.where(jnp.abs(denv) < 1e-12, 1e-12, denv)
+    v_star = (p2_of_j[None, :] * dnu - n2u) / denv
+    den_s = pdr[0] * u[:, None] + pdr[1] * v_star + pdr[2]
+    den_s = jnp.where(jnp.abs(den_s) < 1e-12, 1e-12, den_s)
+    p1_s = (p1r[0] * u[:, None] + p1r[1] * v_star + p1r[2]) / den_s
+    i_star = (p1_s - o1) / d1 - 0.5  # (W, n2)
+
+    C = intermediate.shape[-1]
+    I_t = jnp.transpose(intermediate, (2, 1, 0))  # (C, n2, n1)
+    idx1 = jnp.transpose(i_star, (1, 0))  # (n2, W)
+    rows1 = I_t.reshape(C * n2, n1)
+    idx1c = jnp.tile(idx1, (C, 1))
+    M = banded_row_lerp(rows1, idx1c, interpret=interpret)
+    M = M.reshape(C, n2, -1)  # (C, n2, W)
+
+    den = pdr[0] * u[:, None] + pdr[1] * v[None, :] + pdr[2]
+    ok = jnp.abs(den) > 1e-9
+    den = jnp.where(ok, den, 1.0)
+    p1uv = (p1r[0] * u[:, None] + p1r[1] * v[None, :] + p1r[2]) / den
+    p2uv = (p2r[0] * u[:, None] + p2r[1] * v[None, :] + p2r[2]) / den
+    tplane = (plan.z0 - plan.cam[plan.axis]) / den
+    j_uv = (p2uv - o2) / d2 - 0.5  # (W, H)
+    M_t = jnp.transpose(M, (0, 2, 1))  # (C, W, n2)
+    rows2 = M_t.reshape(C * M_t.shape[1], n2)
+    idx2c = jnp.tile(j_uv, (C, 1))
+    S = banded_row_lerp(rows2, idx2c, interpret=interpret)
+    S = S.reshape(C, -1, H)  # (C, W, H)
+
+    i_uv = (p1uv - o1) / d1 - 0.5
+    valid = (
+        ok & (tplane > 0.0)
+        & (i_uv > -1.0) & (i_uv < n1)
+        & (j_uv > -1.0) & (j_uv < n2)
+    )
+    S = jnp.where(valid[None], S, 0.0)
+    img = jnp.transpose(S, (2, 1, 0))
+    if plan.swap_warp:
+        img = jnp.transpose(img, (1, 0, 2))
+    return img

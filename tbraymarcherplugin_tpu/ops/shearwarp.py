@@ -219,14 +219,15 @@ def plan_shearwarp(
     def spacing(p):
         gu = np.abs(np.gradient(p, axis=1)) / sx
         gv = np.abs(np.gradient(p, axis=0)) / sy
-        g = np.sqrt(gu**2 + gv**2)
+        # Per-pixel requirement along the axis's fastest screen direction;
+        # the 2-norm over-requires by up to sqrt(2). Median over footprint
+        # pixels matches the typical pixel's sampling density (the 5th
+        # percentile blew the grid up ~2.2x per axis -> HBM OOM at 1080p).
+        g = np.maximum(gu, gv)
         g = g[hit]
         g = g[g > 1e-12]
         if g.size == 0:
             return None
-        # Median screen-projected footprint per pixel: matches the typical
-        # pixel's sampling density. (The 5th percentile blew the grid up
-        # ~2.2x per axis at 1080p -> ~5x the samples and an HBM OOM.)
         return float(np.median(g))
 
     s1 = spacing(p1)
@@ -243,7 +244,7 @@ def plan_shearwarp(
     # Total-sample budget: the composite materializes (block, n1, n2) f32
     # fields; cap the grid near the screen's own pixel count so HBM peak
     # stays bounded regardless of camera.
-    max_pixels = max(width * height, 256 * 256)
+    max_pixels = max(int(0.8 * width * height), 256 * 256)
     if n1 * n2 > max_pixels:
         scale = math.sqrt(max_pixels / (n1 * n2))
         n1 = max(align, int(n1 * scale) // align * align)
@@ -364,7 +365,7 @@ def shearwarp_intermediate(
     windowing_vec4: jnp.ndarray,
     clip_center: jnp.ndarray,
     clip_direction: jnp.ndarray,
-    block_size: int = 16,
+    block_size: int = 8,
     early_termination: float = EARLY_TERMINATION_ALPHA,
     stop_early: bool = False,
     compute_dtype=jnp.float32,
@@ -656,7 +657,7 @@ def shearwarp_lit(
     clip_direction,
     width: int,
     height: int,
-    block_size: int = 16,
+    block_size: int = 8,
     early_termination: float = EARLY_TERMINATION_ALPHA,
     stop_early: bool = False,
     compute_dtype=jnp.float32,

@@ -1,0 +1,327 @@
+"""Fused Pallas composite kernel for the shear-warp renderer.
+
+Round-3 on-chip measurement: XLA lowers EVERY gather on this TPU to ~90M
+elem/s scalarized loads — including the 256-texel TF lookup (4 channels x
+420M samples ≈ seconds/frame) that dominated the pure-XLA shear-warp
+composite. This kernel removes the last gathers from the frame:
+
+- the pre-sheared volume/light fields W, L (K, n1, n2) stream through VMEM
+  in double-buffered k-chunks (pure DMA, no gathers);
+- the windowed-TF lookup runs as lane shuffles on a packed (8, 128) TF tile
+  (`pallas_march._sample_tf_packed` — ~24 vector ops per 1024 samples);
+- front-to-back compositing is sequential per k with the carry held in
+  registers, reproducing `shearwarp_intermediate`'s scan algebra exactly
+  (same masks, same 0.95 early-termination snap);
+- per-(8, 128) pixel tile the k-loop stops as soon as every pixel has
+  terminated (a `while_loop` over chunks), and whole k-chunks whose value
+  range cannot produce alpha are skipped via scalar-prefetched occupancy
+  flags — the ESS/ET wins the XLA scan can only approximate.
+
+Forward-only: the differentiable path stays on `shearwarp_intermediate`
+(dense autodiff). Equality tests in `tests/test_shearwarp_pallas.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compositing import EARLY_TERMINATION_ALPHA
+from .pallas_march import _pack_tf, _sample_tf_packed
+from .sampling import VOLUME_DENSITY
+
+KB = 16  # k-chunk length (planes per DMA)
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _composite_kernel(
+    occ_ref,  # scalar-prefetch (nch,) int32: chunk occupancy flags
+    sc_ref,  # SMEM (1, 8): center,width,lowc,highc,e0,ET,D1,D2
+    pa_ref,  # SMEM (5, Kp): a1,b1,a2,b2,lam
+    tf_ref,  # VMEM (8, 128) packed TF
+    e1_ref,  # VMEM (8, 128) tile of the clip-plane field
+    sw_ref,  # VMEM (8, 128) tile of step_world
+    w_hbm,  # ANY (Kp, n1, n2)
+    l_hbm,  # ANY (Kp, n1, n2)
+    out_ref,  # VMEM (4, 8, 128) tile output
+    wbuf,  # VMEM (2, KB, 8, 128) compute dtype
+    lbuf,
+    wsem,
+    lsem,
+    *,
+    n_chunks,
+    k_real,
+    early_termination,
+):
+    i0 = pl.program_id(0) * 8
+    j0 = pl.program_id(1) * 128
+    center = sc_ref[0, 0]
+    width = sc_ref[0, 1]
+    low_c = sc_ref[0, 2]
+    high_c = sc_ref[0, 3]
+    e0 = sc_ref[0, 4]
+    d1f = sc_ref[0, 6]
+    d2f = sc_ref[0, 7]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
+    gi = row + i0
+    gj = col + j0
+    e1 = e1_ref[:]
+    sw = sw_ref[:]
+    tfp = tf_ref[:]
+
+    def copy(buf, hbm, sem, c, slot):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(c * KB, KB), pl.ds(i0, 8), pl.ds(j0, 128)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    def issue(c, slot):
+        copy(wbuf, w_hbm, wsem, c, slot).start()
+        copy(lbuf, l_hbm, lsem, c, slot).start()
+
+    def wait(c, slot):
+        copy(wbuf, w_hbm, wsem, c, slot).wait()
+        copy(lbuf, l_hbm, lsem, c, slot).wait()
+
+    issue(0, 0)
+
+    def chunk_body(state):
+        c, rr, rg, rb, alpha, term_f = state
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            issue(c + 1, (c + 1) % 2)
+
+        wait(c, slot)
+
+        def do_chunk(carry):
+            rr, rg, rb, alpha, term_f = carry
+
+            def k_body(kk, carry):
+                rr, rg, rb, alpha, term_f = carry
+                k = c * KB + kk
+                term = term_f > 0.5
+                a1k = pa_ref[0, k]
+                b1k = pa_ref[1, k]
+                a2k = pa_ref[2, k]
+                b2k = pa_ref[3, k]
+                lamk = pa_ref[4, k]
+                v1 = a1k + b1k * gi
+                v2 = a2k + b2k * gj
+                m = (
+                    (v1 >= -0.5) & (v1 <= d1f - 0.5)
+                    & (v2 >= -0.5) & (v2 <= d2f - 0.5)
+                    & ((e0 + lamk * e1) > 0.0)
+                    & (k < k_real)
+                    & ~term
+                )
+                value = wbuf[slot, kk].astype(jnp.float32)
+                light = lbuf[slot, kk].astype(jnp.float32)
+                tf_pos = (value - center + width * 0.5) / width
+                cut = ((tf_pos < 0.0) & (low_c > 0.0)) | (
+                    (tf_pos > 1.0) & (high_c > 0.0)
+                )
+                cr, cg, cb, ca = _sample_tf_packed(tfp, tf_pos)
+                ca = jnp.clip(ca, 0.0, 1.0)
+                ca = 1.0 - jnp.exp(
+                    sw * jnp.log(jnp.maximum(1.0 - ca, 1e-10))
+                )
+                a = jnp.where(m & ~cut, ca, 0.0)
+                w = (1.0 - alpha) * a
+                rr = rr + w * cr * light
+                rg = rg + w * cg * light
+                rb = rb + w * cb * light
+                alpha_new = alpha + w
+                crossed = (a > 0.0) & (alpha_new > early_termination)
+                alpha = jnp.where(crossed, 1.0, alpha_new)
+                term_f = jnp.maximum(term_f, crossed.astype(jnp.float32))
+                return rr, rg, rb, alpha, term_f
+
+            return jax.lax.fori_loop(
+                0, KB, k_body, (rr, rg, rb, alpha, term_f)
+            )
+
+        occupied = occ_ref[c] != 0
+        rr, rg, rb, alpha, term_f = jax.lax.cond(
+            occupied, do_chunk, lambda x: x, (rr, rg, rb, alpha, term_f)
+        )
+        return c + 1, rr, rg, rb, alpha, term_f
+
+    def chunk_cond(state):
+        c = state[0]
+        term_f = state[5]
+        return (c < n_chunks) & (jnp.min(term_f) < 0.5)
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+    init = (jnp.int32(0), zero, zero, zero, zero, zero)
+    c_end, rr, rg, rb, alpha, _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, init
+    )
+
+    # Drain the prefetched chunk when the loop exits early.
+    @pl.when(c_end < n_chunks)
+    def _():
+        wait(c_end, c_end % 2)
+
+    out_ref[0] = rr
+    out_ref[1] = rg
+    out_ref[2] = rb
+    out_ref[3] = alpha
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "early_termination",
+        "compute_dtype",
+        "interpret",
+    ),
+)
+def shearwarp_intermediate_fused(
+    volume: jnp.ndarray,
+    tf_table: jnp.ndarray,
+    light_volume: jnp.ndarray,
+    plan,
+    windowing_vec4: jnp.ndarray,
+    clip_center,
+    clip_direction,
+    early_termination: float = EARLY_TERMINATION_ALPHA,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused-fast shear-warp composite -> (n1, n2, 4).
+
+    Same algorithm as :func:`.shearwarp.shearwarp_intermediate` (the
+    equality oracle); forward-only. ``compute_dtype`` is the storage type of
+    the pre-sheared fields (bf16 halves the stream, ~1e-3 value error).
+    """
+    from . import shearwarp as SW
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n1, n2, K = plan.n1, plan.n2, plan.k
+    assert n1 % 8 == 0 and n2 % 128 == 0, (n1, n2)
+    Kp = _ceil_to(K, KB)
+    nch = Kp // KB
+
+    ax = (plan.axis,) + plan.axes12
+    vol_t = jnp.transpose(volume, ax)
+    light_t = jnp.transpose(light_volume, ax)
+
+    def pad_to(x, n, value=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n - x.shape[0],) + x.shape[1:], value, x.dtype)], 0
+        ) if x.shape[0] < n else x
+
+    # ---- XLA stage: pre-shear every plane with batched banded matmuls ----
+    msrc = plan.m_src
+    vplanes = jnp.take(vol_t, msrc, axis=0)  # (K, D1, D2)
+    l0 = jnp.take(light_t, plan.lm0, axis=0)
+    l1 = jnp.take(light_t, jnp.minimum(plan.lm0 + 1, light_t.shape[0] - 1),
+                  axis=0)
+    lplanes = l0 * (1.0 - plan.lmt[:, None, None]) + l1 * plan.lmt[:, None, None]
+
+    W = SW._resample_block(
+        vplanes, plan.a1, plan.b1, plan.a2, plan.b2, n1, n2, compute_dtype
+    ).astype(compute_dtype)  # (K, n1, n2)
+    L = SW._resample_block(
+        lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2, n1, n2, compute_dtype
+    ).astype(compute_dtype)
+    W = pad_to(W, Kp)
+    L = pad_to(L, Kp)
+
+    # ---- chunk occupancy (ESS): interval query on per-chunk value range ---
+    from .transfer import windowed_tf_range_occupied
+
+    sl_mn = pad_to(jnp.min(vplanes, axis=(1, 2)), Kp, value=jnp.inf)
+    sl_mx = pad_to(jnp.max(vplanes, axis=(1, 2)), Kp, value=-jnp.inf)
+    occ = windowed_tf_range_occupied(
+        jnp.min(sl_mn.reshape(nch, KB), axis=1),
+        jnp.max(sl_mx.reshape(nch, KB), axis=1),
+        windowing_vec4, tf_table,
+    ).astype(jnp.int32)
+
+    # ---- scalar/param packing ----
+    cc = jnp.asarray(clip_center, jnp.float32)
+    cdn = jnp.asarray(clip_direction, jnp.float32)
+    a1x, a2x, dx = plan.axes12[0], plan.axes12[1], plan.axis
+    ii = jnp.arange(n1, dtype=jnp.float32)
+    jj = jnp.arange(n2, dtype=jnp.float32)
+    g1 = plan.o1 + (ii + 0.5) * plan.d1
+    g2 = plan.o2 + (jj + 0.5) * plan.d2
+    c1, c2, cd_ = plan.cam[a1x], plan.cam[a2x], plan.cam[dx]
+    r = jnp.sqrt(
+        (g1[:, None] - c1) ** 2 + (g2[None, :] - c2) ** 2
+        + (plan.z0 - cd_) ** 2
+    )
+    step_world = VOLUME_DENSITY * r * plan.dlam  # (n1, n2)
+    e0 = jnp.sum((plan.cam - cc) * cdn)
+    e1 = (
+        (g1[:, None] - c1) * cdn[a1x]
+        + (g2[None, :] - c2) * cdn[a2x]
+        + (plan.z0 - cd_) * cdn[dx]
+    )
+    win = jnp.asarray(windowing_vec4, jnp.float32)
+    D1 = volume.shape[a1x]
+    D2 = volume.shape[a2x]
+    sc = jnp.stack([
+        win[0], win[1], win[2], win[3], e0,
+        jnp.float32(early_termination), jnp.float32(D1), jnp.float32(D2),
+    ]).reshape(1, 8)
+    # padded planes: out-of-range coords so the in-cube mask kills them
+    pa = jnp.stack([
+        pad_to(plan.a1, Kp, value=-1e9),
+        pad_to(plan.b1, Kp, value=0.0),
+        pad_to(plan.a2, Kp, value=-1e9),
+        pad_to(plan.b2, Kp, value=0.0),
+        pad_to(plan.lam, Kp, value=0.0),
+    ])  # (5, Kp)
+    tfp = _pack_tf(tf_table)
+
+    kernel = partial(
+        _composite_kernel,
+        n_chunks=nch,
+        k_real=K,
+        early_termination=early_termination,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n1 // 8, n2 // 128),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j, occ: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j, occ: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((4, 8, 128), lambda i, j, occ: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, KB, 8, 128), compute_dtype),
+            pltpu.VMEM((2, KB, 8, 128), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4, n1, n2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(occ, sc, pa, tfp, e1, step_world, W, L)
+    return jnp.transpose(out, (1, 2, 0))

@@ -402,6 +402,16 @@ class Renderer:
                 "shear-warp factorization unavailable (camera inside the "
                 "dominant slab); use march_impl='auto' or 'blocked'"
             )
+        if jax.devices()[0].platform != "cpu":
+            from .ops.pallas_warp import warp_to_screen_fused
+            from .ops.shearwarp_pallas import shearwarp_intermediate_fused
+
+            inter = shearwarp_intermediate_fused(
+                self.volume, self.tf_table, self.light_volume, self._sw_plan,
+                win, local_clip.center, local_clip.direction,
+                early_termination=self.config.early_termination,
+            )
+            return warp_to_screen_fused(inter, self._sw_plan, width, height)
         return SW.shearwarp_lit(
             self.volume, self.tf_table, self.light_volume, self._sw_plan,
             win, local_clip.center, local_clip.direction, width, height,

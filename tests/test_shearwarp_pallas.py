@@ -1,0 +1,119 @@
+"""Fused Pallas shear-warp composite vs the XLA scan path (exactness)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tbraymarcherplugin_tpu.ops import shearwarp as SW
+from tbraymarcherplugin_tpu.ops import synthetic
+from tbraymarcherplugin_tpu.ops import transfer as T
+from tbraymarcherplugin_tpu.ops.shearwarp_pallas import (
+    shearwarp_intermediate_fused,
+)
+from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, VolumeTransform
+
+DIMS = (32, 32, 32)
+W, H = 96, 64
+
+
+def _scene(cam_pos=(0.1, -2.3, 0.4)):
+    vol = jnp.asarray(synthetic.ct_like_phantom(DIMS, seed=0))
+    x, y, z = np.meshgrid(*[np.linspace(0, 1, d) for d in DIMS],
+                          indexing="ij")
+    lv = jnp.asarray(0.2 + 0.8 * (0.5 + 0.5 * np.sin(4 * x) * np.cos(3 * y)),
+                     jnp.float32)
+    tf = T.tf_ct_bone()
+    cam = Camera.look_at(list(cam_pos), [0.0, 0.0, 0.0], fov_degrees=40.0)
+    tr = VolumeTransform.create()
+    win = jnp.asarray([0.45, 0.7, 1.0, 1.0], jnp.float32)
+    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=128)
+    assert plan is not None
+    return vol, lv, tf, plan, win
+
+
+@pytest.mark.parametrize("cam_pos", [(0.1, -2.3, 0.4), (2.1, 0.7, 0.9)])
+def test_fused_matches_scan_path_f32(cam_pos):
+    vol, lv, tf, plan, win = _scene(cam_pos)
+    clip = ClipPlane.disabled()
+    want = np.asarray(SW.shearwarp_intermediate(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_clip_and_early_termination():
+    vol, lv, tf, plan, _ = _scene()
+    clip = ClipPlane.create([0.5, 0.5, 0.5], [0.3, 0.8, 0.52])
+    # opaque scene: exercises the alpha snap + tile early-exit
+    win = jnp.asarray([0.3, 1.5, 0.0, 0.0], jnp.float32)
+    want = np.asarray(SW.shearwarp_intermediate(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    assert (want[..., 3] == 1.0).any()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_ess_skips_exactly():
+    vol, lv, _, plan, _ = _scene()
+    tf = T.tf_from_keypoints(
+        [0, 0.59, 0.6, 1.0],
+        [[0, 0, 0, 0], [0, 0, 0, 0], [1, 0.9, 0.8, 0.5], [1, 1, 1, 1]],
+    )
+    win = jnp.asarray([0.5, 1.0, 1.0, 1.0], jnp.float32)
+    clip = ClipPlane.disabled()
+    want = np.asarray(SW.shearwarp_intermediate(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_bf16_close():
+    vol, lv, tf, plan, win = _scene()
+    clip = ClipPlane.disabled()
+    want = np.asarray(SW.shearwarp_intermediate(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.bfloat16,
+    ))
+    assert np.abs(got - want).mean() < 2e-3
+    assert np.abs(got - want).max() < 0.06
+
+
+def test_banded_row_lerp_matches_lerp_take(rng):
+    from tbraymarcherplugin_tpu.ops.pallas_warp import banded_row_lerp
+    from tbraymarcherplugin_tpu.ops.shearwarp import _lerp_take
+
+    rows = jnp.asarray(rng.random((20, 300), dtype=np.float32))
+    # monotone, ~1.2 source texels per output (the kernel's band contract),
+    # endpoints past the array to cover the clamp-to-edge path
+    base = np.linspace(-5, 310, 260)[None, :]
+    wob = rng.random((20, 260), dtype=np.float32) * 3.0
+    idx = jnp.asarray((base + wob).astype(np.float32))
+    got = np.asarray(banded_row_lerp(rows, idx, interpret=True))
+    want = np.asarray(_lerp_take(rows, idx))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_warp_fused_matches_warp_to_screen(rng):
+    from tbraymarcherplugin_tpu.ops.pallas_warp import warp_to_screen_fused
+
+    _, _, _, plan, _ = _scene()
+    inter = jnp.asarray(rng.random((plan.n1, plan.n2, 4), dtype=np.float32))
+    want = np.asarray(SW.warp_to_screen(inter, plan, W, H))
+    got = np.asarray(warp_to_screen_fused(inter, plan, W, H, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert got.max() > 0.05
