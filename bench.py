@@ -314,8 +314,11 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
                 shearwarp_plan=sw_plan if _i == "shearwarp" else None,
                 shearwarp_stop_early=False,
                 # The pallas scan has a custom VJP (adjoint shift-scan), so
-                # the fused illumination forward works under value_and_grad.
+                # the fused illumination forward works under value_and_grad;
+                # the pallas TF-alpha kernel is forward-only, so the
+                # occluder field keeps the XLA lookup here.
                 illumination_scan_impl=_s,
+                illumination_tf_impl="xla",
             )
 
         try:

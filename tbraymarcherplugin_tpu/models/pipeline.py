@@ -87,6 +87,7 @@ def compute_illumination(
     high_cutoff=True,
     apply_write_threshold: bool = False,
     scan_impl: str = "xla",
+    tf_impl: str | None = None,
     grad_allreduce_axis: str | None = None,
 ):
     """Build the illumination volume from all planned lights (traced).
@@ -120,6 +121,7 @@ def compute_illumination(
                 tuple(light_dims),
                 apply_write_threshold,
                 scan_impl=scan_impl,
+                tf_impl=tf_impl,
             )
             lv = lv + contrib
     return lv
@@ -140,6 +142,7 @@ def compute_illumination(
         "shearwarp_dtype",
         "shearwarp_stop_early",
         "illumination_scan_impl",
+        "illumination_tf_impl",
         "grad_allreduce_axis",
     ),
 )
@@ -161,6 +164,7 @@ def render_lit_scene(
     shearwarp_dtype=jnp.float32,
     shearwarp_stop_early: bool = False,
     illumination_scan_impl: str = "xla",
+    illumination_tf_impl: str | None = None,
     grad_allreduce_axis: str | None = None,
 ) -> jnp.ndarray:
     """Differentiable lit render: illumination + march, one XLA computation.
@@ -183,6 +187,7 @@ def render_lit_scene(
     lv = compute_illumination(
         params, light_plans, clip_center, clip_direction, light_dims,
         low_cutoff, high_cutoff, scan_impl=illumination_scan_impl,
+        tf_impl=illumination_tf_impl,
         grad_allreduce_axis=grad_allreduce_axis,
     )
     march_volume = params.volume

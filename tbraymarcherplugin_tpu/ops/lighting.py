@@ -205,6 +205,7 @@ def occluder_opacity_volume(
     step_size,
     clip_center,
     clip_direction,
+    tf_impl: str = "xla",
 ):
     """Precompute the per-voxel occluder opacity field for one face.
 
@@ -235,9 +236,18 @@ def occluder_opacity_volume(
         value = _const_shift_trilinear(volume, light_dims, uvw_offset)
     else:
         value = trilinear_sample(volume, uvw)
-    opacity = sample_windowed_transfer_function(
-        value, step_size * VOLUME_DENSITY, tf_table, windowing_vec4
-    )[..., 3]
+    if tf_impl == "pallas":
+        # Lane-shuffle TF-alpha kernel — XLA's scalarized table gather was
+        # the illumination rebuild's dominant cost (`ops/pallas_tf.py`).
+        from .pallas_tf import windowed_tf_alpha
+
+        opacity = windowed_tf_alpha(
+            value, tf_table, windowing_vec4, step_size * VOLUME_DENSITY
+        )
+    else:
+        opacity = sample_windowed_transfer_function(
+            value, step_size * VOLUME_DENSITY, tf_table, windowing_vec4
+        )[..., 3]
     return jnp.where(inside & (alpha_weight > 0.0), opacity * alpha_weight, 0.0)
 
 
@@ -321,7 +331,7 @@ def plan_face_propagation(
 @partial(
     jax.jit,
     static_argnames=("face", "light_dims", "apply_write_threshold",
-                     "scan_impl"),
+                     "scan_impl", "tf_impl"),
 )
 def _propagate_one_face(
     volume,
@@ -337,6 +347,7 @@ def _propagate_one_face(
     light_dims: tuple[int, int, int],
     apply_write_threshold: bool = True,
     scan_impl: str = "xla",
+    tf_impl: str | None = None,
 ):
     """Propagate one face's share of a light through the volume.
 
@@ -345,8 +356,14 @@ def _propagate_one_face(
 
     ``scan_impl="pallas"`` runs the slice scan as one fused kernel with the
     2D carry resident in VMEM (`..ops.pallas_lighting`) — identical results,
-    none of `lax.scan`'s per-slice dispatch overhead on TPU.
+    none of `lax.scan`'s per-slice dispatch overhead on TPU, and
+    differentiable (custom adjoint). ``tf_impl`` controls the occluder
+    field's TF-alpha lookup separately (default: follow ``scan_impl``);
+    the pallas TF kernel is FORWARD-ONLY — differentiated callers must pass
+    ``tf_impl="xla"``.
     """
+    if tf_impl is None:
+        tf_impl = scan_impl
     ax = transposed_axes(face)
     tdims = (light_dims[ax[0]], light_dims[ax[1]], light_dims[ax[2]])
 
@@ -359,6 +376,7 @@ def _propagate_one_face(
         step_size,
         clip_center,
         clip_direction,
+        tf_impl=tf_impl,
     )
     # Transpose so the propagation axis is last; flip so the scan always walks
     # slice 0 -> N-1 in propagation order.

@@ -105,3 +105,25 @@ def test_custom_vjp_matches_xla_autodiff(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_tf_alpha_matches_xla(rng):
+    from tbraymarcherplugin_tpu.ops.pallas_tf import windowed_tf_alpha
+    from tbraymarcherplugin_tpu.ops.sampling import (
+        sample_windowed_transfer_function,
+    )
+    from tbraymarcherplugin_tpu.ops import transfer as T
+
+    vals = jnp.asarray(rng.random((13, 9, 21), dtype=np.float32))
+    tf = T.tf_ct_bone()
+    for win in ([0.45, 0.7, 1.0, 1.0], [0.5, 1.2, 0.0, 0.0],
+                [0.8, 0.3, 1.0, 0.0]):
+        w = jnp.asarray(win, jnp.float32)
+        got = np.asarray(
+            windowed_tf_alpha(vals, tf, w, 0.73, interpret=True)
+        )
+        want = np.asarray(sample_windowed_transfer_function(
+            vals, 0.73, tf, w
+        ))[..., 3]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                   err_msg=str(win))
