@@ -154,6 +154,7 @@ def main():
                 step_count=steps, march_impl="shearwarp",
                 shearwarp_plan=sw_plan, shearwarp_stop_early=False,
                 illumination_scan_impl="pallas",
+                illumination_tf_impl="xla",  # the TF kernel is fwd-only
             )
             return jnp.mean((img - target) ** 2)
 
