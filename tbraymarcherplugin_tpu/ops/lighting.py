@@ -282,22 +282,27 @@ def _const_shift_trilinear(volume, light_dims, uvw_offset):
                 f.astype(jnp.int32) + pads[a], 0, 2 * pads[a] + r[a] - 2
             )
         )
-    sizes = tuple((ld[a] - 1) * r[a] + 1 for a in range(3))
-
-    def corner(dx, dy, dz):
-        sl = jax.lax.dynamic_slice(
-            vp, (i0[0] + dx, i0[1] + dy, i0[2] + dz), sizes
-        )
-        return sl[:: r[0], :: r[1], :: r[2]]
-
+    # Trilinear with constant fractional weights == a separable 2x2x2
+    # convolution with stride r. The previous formulation (8 corner slices
+    # each strided [::r] on all three axes) hit XLA's scalarized lane-dim
+    # strided-slice lowering (~358 ms at 256^3 -> 128^3 on TPU); strided
+    # convs lower natively.
+    sizes = tuple((ld[a] - 1) * r[a] + 2 for a in range(3))
+    sl = jax.lax.dynamic_slice(vp, (i0[0], i0[1], i0[2]), sizes)
     fx, fy, fz = frac
-    c00 = corner(0, 0, 0) * (1 - fz) + corner(0, 0, 1) * fz
-    c01 = corner(0, 1, 0) * (1 - fz) + corner(0, 1, 1) * fz
-    c10 = corner(1, 0, 0) * (1 - fz) + corner(1, 0, 1) * fz
-    c11 = corner(1, 1, 0) * (1 - fz) + corner(1, 1, 1) * fz
-    c0 = c00 * (1 - fy) + c01 * fy
-    c1 = c10 * (1 - fy) + c11 * fy
-    return c0 * (1 - fx) + c1 * fx
+    kern = (
+        jnp.stack([1.0 - fx, fx]).reshape(2, 1, 1)
+        * jnp.stack([1.0 - fy, fy]).reshape(1, 2, 1)
+        * jnp.stack([1.0 - fz, fz]).reshape(1, 1, 2)
+    )
+    out = jax.lax.conv_general_dilated(
+        sl[None, None],
+        kern[None, None].astype(sl.dtype),
+        window_strides=r,
+        padding="VALID",
+        dimension_numbers=("NCXYZ", "OIXYZ", "NCXYZ"),
+    )
+    return out[0, 0]
 
 
 class FacePropagationPlan(NamedTuple):
