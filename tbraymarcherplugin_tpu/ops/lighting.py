@@ -282,14 +282,33 @@ def _const_shift_trilinear(volume, light_dims, uvw_offset):
                 f.astype(jnp.int32) + pads[a], 0, 2 * pads[a] + r[a] - 2
             )
         )
-    # Trilinear with constant fractional weights == a separable 2x2x2
-    # convolution with stride r. The previous formulation (8 corner slices
-    # each strided [::r] on all three axes) hit XLA's scalarized lane-dim
-    # strided-slice lowering (~358 ms at 256^3 -> 128^3 on TPU); strided
-    # convs lower natively.
+    fx, fy, fz = frac
+    if all(v == 1 for v in r):
+        # Full-resolution light volume: plain shifted slices (contiguous,
+        # fast); the conv below costs ~100 ms/face in layout conversions
+        # here while buying nothing.
+        sizes = tuple(ld)
+
+        def corner(dx, dy, dz):
+            return jax.lax.dynamic_slice(
+                vp, (i0[0] + dx, i0[1] + dy, i0[2] + dz), sizes
+            )
+
+        c00 = corner(0, 0, 0) * (1 - fz) + corner(0, 0, 1) * fz
+        c01 = corner(0, 1, 0) * (1 - fz) + corner(0, 1, 1) * fz
+        c10 = corner(1, 0, 0) * (1 - fz) + corner(1, 0, 1) * fz
+        c11 = corner(1, 1, 0) * (1 - fz) + corner(1, 1, 1) * fz
+        c0 = c00 * (1 - fy) + c01 * fy
+        c1 = c10 * (1 - fy) + c11 * fy
+        return c0 * (1 - fx) + c1 * fx
+
+    # Downsampling ratios: trilinear with constant fractional weights == a
+    # separable 2x2x2 convolution with stride r. The old formulation (8
+    # corner slices each strided [::r] on all three axes) hit XLA's
+    # scalarized lane-dim strided-slice lowering (~358 ms at 256^3 ->
+    # 128^3 on TPU); strided convs lower natively.
     sizes = tuple((ld[a] - 1) * r[a] + 2 for a in range(3))
     sl = jax.lax.dynamic_slice(vp, (i0[0], i0[1], i0[2]), sizes)
-    fx, fy, fz = frac
     kern = (
         jnp.stack([1.0 - fx, fx]).reshape(2, 1, 1)
         * jnp.stack([1.0 - fy, fy]).reshape(1, 2, 1)

@@ -43,6 +43,7 @@ def _ceil_to(n: int, m: int) -> int:
 
 def _composite_kernel(
     occ_ref,  # scalar-prefetch (nch,) int32: chunk occupancy flags
+    bnd_ref,  # scalar-prefetch (n_tiles*2,) int32: per-tile chunk lo/hi
     sc_ref,  # SMEM (1, 8): center,width,lowc,highc,e0,ET,D1,D2
     pa_ref,  # SMEM (5, Kp): a1,b1,a2,b2,lam
     tf_ref,  # VMEM (8, 128) packed TF
@@ -62,6 +63,9 @@ def _composite_kernel(
 ):
     i0 = pl.program_id(0) * 8
     j0 = pl.program_id(1) * 128
+    tile = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    c_lo = bnd_ref[2 * tile]
+    c_hi = bnd_ref[2 * tile + 1]
     center = sc_ref[0, 0]
     width = sc_ref[0, 1]
     low_c = sc_ref[0, 2]
@@ -93,13 +97,15 @@ def _composite_kernel(
         copy(wbuf, w_hbm, wsem, c, slot).wait()
         copy(lbuf, l_hbm, lsem, c, slot).wait()
 
-    issue(0, 0)
+    @pl.when(c_lo < c_hi)
+    def _():
+        issue(c_lo, c_lo % 2)
 
     def chunk_body(state):
         c, rr, rg, rb, alpha, term_f = state
         slot = c % 2
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(c + 1 < c_hi)
         def _():
             issue(c + 1, (c + 1) % 2)
 
@@ -161,16 +167,16 @@ def _composite_kernel(
     def chunk_cond(state):
         c = state[0]
         term_f = state[5]
-        return (c < n_chunks) & (jnp.min(term_f) < 0.5)
+        return (c < c_hi) & (jnp.min(term_f) < 0.5)
 
     zero = jnp.zeros((8, 128), jnp.float32)
-    init = (jnp.int32(0), zero, zero, zero, zero, zero)
+    init = (c_lo, zero, zero, zero, zero, zero)
     c_end, rr, rg, rb, alpha, _ = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
     # Drain the prefetched chunk when the loop exits early.
-    @pl.when(c_end < n_chunks)
+    @pl.when(c_end < c_hi)
     def _():
         wait(c_end, c_end % 2)
 
@@ -252,6 +258,40 @@ def shearwarp_intermediate_fused(
         windowing_vec4, tf_table,
     ).astype(jnp.int32)
 
+    # ---- per-tile chunk bounds: a border tile only intersects the cube's
+    # shrinking preimage for a k-interval; skip the rest of its loop ----
+    a1p = pad_to(plan.a1, Kp, value=jnp.float32(-1e9))
+    b1p = pad_to(plan.b1, Kp, value=jnp.float32(0.0))
+    a2p = pad_to(plan.a2, Kp, value=jnp.float32(-1e9))
+    b2p = pad_to(plan.b2, Kp, value=jnp.float32(0.0))
+    t1 = n1 // 8
+    t2 = n2 // 128
+    i_lo = (jnp.arange(t1, dtype=jnp.float32) * 8.0)[:, None]
+    i_hi = i_lo + 7.0
+    j_lo = (jnp.arange(t2, dtype=jnp.float32) * 128.0)[:, None]
+    j_hi = j_lo + 127.0
+
+    def axis_valid(ap, bp, lo, hi, dimf):
+        va = ap[None, :] + bp[None, :] * lo
+        vb = ap[None, :] + bp[None, :] * hi
+        vmin = jnp.minimum(va, vb)
+        vmax = jnp.maximum(va, vb)
+        return (vmax >= -0.5) & (vmin <= dimf - 0.5)  # (tiles, Kp)
+
+    D1 = volume.shape[plan.axes12[0]]
+    D2 = volume.shape[plan.axes12[1]]
+    v1ok = axis_valid(a1p, b1p, i_lo, i_hi, float(D1))
+    v2ok = axis_valid(a2p, b2p, j_lo, j_hi, float(D2))
+    kvalid = v1ok[:, None, :] & v2ok[None, :, :]  # (t1, t2, Kp)
+    cvalid = jnp.any(kvalid.reshape(t1, t2, nch, KB), axis=3)
+    cvalid = cvalid & (occ[None, None, :] != 0)
+    anyv = jnp.any(cvalid, axis=2)
+    first = jnp.argmax(cvalid, axis=2)
+    last = nch - jnp.argmax(cvalid[:, :, ::-1], axis=2)
+    c_lo = jnp.where(anyv, first, 0).astype(jnp.int32)
+    c_hi = jnp.where(anyv, last, 0).astype(jnp.int32)
+    bounds = jnp.stack([c_lo, c_hi], axis=-1).reshape(-1)
+
     # ---- scalar/param packing ----
     cc = jnp.asarray(clip_center, jnp.float32)
     cdn = jnp.asarray(clip_direction, jnp.float32)
@@ -296,20 +336,20 @@ def shearwarp_intermediate_fused(
         early_termination=early_termination,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n1 // 8, n2 // 128),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, j, occ: (i, j),
+            pl.BlockSpec((8, 128), lambda i, j, occ, bnd: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, j, occ: (i, j),
+            pl.BlockSpec((8, 128), lambda i, j, occ, bnd: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((4, 8, 128), lambda i, j, occ: (0, i, j),
+        out_specs=pl.BlockSpec((4, 8, 128), lambda i, j, occ, bnd: (0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, KB, 8, 128), compute_dtype),
@@ -323,5 +363,5 @@ def shearwarp_intermediate_fused(
         out_shape=jax.ShapeDtypeStruct((4, n1, n2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(occ, sc, pa, tfp, e1, step_world, W, L)
+    )(occ, bounds, sc, pa, tfp, e1, step_world, W, L)
     return jnp.transpose(out, (1, 2, 0))
