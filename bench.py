@@ -313,10 +313,10 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
                 step_count=step_count, march_impl=_i,
                 shearwarp_plan=sw_plan if _i == "shearwarp" else None,
                 shearwarp_stop_early=False,
-                # The pallas scan has a custom VJP (adjoint shift-scan), so
-                # the fused illumination forward works under value_and_grad;
-                # the pallas TF-alpha kernel is forward-only, so the
-                # occluder field keeps the XLA lookup here.
+                # Differentiable fast units: pallas scan (adjoint shift-scan
+                # VJP) + pallas TF unit (MXU-histogram VJP); the occluder
+                # field's TF-alpha kernel is fwd-only, so it stays XLA.
+                shearwarp_tf_unit="pallas" if _s == "pallas" else "xla",
                 illumination_scan_impl=_s,
                 illumination_tf_impl="xla",
             )

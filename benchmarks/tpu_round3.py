@@ -153,8 +153,9 @@ def main():
                 p, rays, clip.center, clip.direction, plans, dims,
                 step_count=steps, march_impl="shearwarp",
                 shearwarp_plan=sw_plan, shearwarp_stop_early=False,
+                shearwarp_tf_unit="pallas",  # custom-VJP TF unit
                 illumination_scan_impl="pallas",
-                illumination_tf_impl="xla",  # the TF kernel is fwd-only
+                illumination_tf_impl="xla",  # alpha kernel is fwd-only
             )
             return jnp.mean((img - target) ** 2)
 

@@ -141,6 +141,7 @@ def compute_illumination(
         "pallas_window",
         "shearwarp_dtype",
         "shearwarp_stop_early",
+        "shearwarp_tf_unit",
         "illumination_scan_impl",
         "illumination_tf_impl",
         "grad_allreduce_axis",
@@ -163,6 +164,7 @@ def render_lit_scene(
     shearwarp_plan=None,
     shearwarp_dtype=jnp.float32,
     shearwarp_stop_early: bool = False,
+    shearwarp_tf_unit: str = "xla",
     illumination_scan_impl: str = "xla",
     illumination_tf_impl: str | None = None,
     grad_allreduce_axis: str | None = None,
@@ -230,7 +232,7 @@ def render_lit_scene(
                 compute_dtype=shearwarp_dtype,
             )
             return warp_to_screen_fused(inter, shearwarp_plan, w, h)
-        return SWM.shearwarp_lit(
+        inter = SWM.shearwarp_intermediate(
             march_volume,
             march_tf,
             lv,
@@ -238,12 +240,12 @@ def render_lit_scene(
             march_win,
             clip_center,
             clip_direction,
-            w,
-            h,
             early_termination=early_termination,
             stop_early=shearwarp_stop_early,
             compute_dtype=shearwarp_dtype,
+            tf_unit=shearwarp_tf_unit,
         )
+        return SWM.warp_to_screen(inter, shearwarp_plan, w, h)
     if march_impl == "pallas":
         from ..ops import pallas_march as PM
 

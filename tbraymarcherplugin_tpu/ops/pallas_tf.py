@@ -104,3 +104,249 @@ def windowed_tf_alpha(
         interpret=interpret,
     )(sc, _pack_tf(tf_table), flat)
     return out.reshape(-1)[:n].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable windowed-TF unit: Pallas forward AND backward.
+#
+# The XLA lowering of the TF table ops (~90M elem/s gather in the forward,
+# gather + 256-bin scatter in the backward) made fwd+bwd frames ~14 s. Both
+# directions are lane-shuffle/MXU work:
+#   forward:  rgba lookup via packed shuffles (like the alpha kernel);
+#   backward: d/dvalue + d/dcenter + d/dwidth are elementwise slope lookups;
+#             d/dTF is a 256-bin weighted histogram computed per tile as a
+#             one-hot (256x128) @ (128x4) matmul on the MXU, accumulated
+#             across the (sequential) grid in a revisited output block.
+# Exactness: tests compare both directions against XLA autodiff of
+# `sample_windowed_transfer_function`.
+
+
+def _rgba_fwd_kernel(sc_ref, tf_ref, val_ref, step_ref, out_ref):
+    center = sc_ref[0, 0]
+    width = sc_ref[0, 1]
+    low_c = sc_ref[0, 2]
+    high_c = sc_ref[0, 3]
+    v = val_ref[:]
+    sw = step_ref[:]
+    tf_pos = (v - center + width * 0.5) / width
+    cut = ((tf_pos < 0.0) & (low_c > 0.0)) | ((tf_pos > 1.0) & (high_c > 0.0))
+    x = tf_pos * 256.0 - 0.5
+    i0f = jnp.floor(x)
+    frac = x - i0f
+    i0 = jnp.clip(i0f, 0.0, 255.0).astype(jnp.int32)
+    i1 = jnp.clip(i0f + 1.0, 0.0, 255.0).astype(jnp.int32)
+    tfp = tf_ref[:]
+
+    def chan(c, idx):
+        li = idx & 127
+        hi = idx >> 7
+        r0 = jnp.take_along_axis(
+            jnp.broadcast_to(tfp[2 * c:2 * c + 1, :], idx.shape), li, axis=1
+        )
+        r1 = jnp.take_along_axis(
+            jnp.broadcast_to(tfp[2 * c + 1:2 * c + 2, :], idx.shape), li,
+            axis=1
+        )
+        return jnp.where(hi == 0, r0, r1)
+
+    for c in range(3):
+        c0 = chan(c, i0)
+        c1 = chan(c, i1)
+        out_ref[c] = jnp.where(cut, 0.0, c0 + (c1 - c0) * frac)
+    a0 = chan(3, i0)
+    a1 = chan(3, i1)
+    alpha = jnp.clip(a0 + (a1 - a0) * frac, 0.0, 1.0)
+    alpha = 1.0 - jnp.exp(sw * jnp.log(jnp.maximum(1.0 - alpha, 1e-10)))
+    out_ref[3] = jnp.where(cut, 0.0, alpha)
+
+
+def _rgba_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
+                     dval_ref, acc_ref):
+    pid = pl.program_id(0)
+    center = sc_ref[0, 0]
+    width = sc_ref[0, 1]
+    low_c = sc_ref[0, 2]
+    high_c = sc_ref[0, 3]
+    v = val_ref[:]
+    sw = step_ref[:]
+    tf_pos = (v - center + width * 0.5) / width
+    cut = ((tf_pos < 0.0) & (low_c > 0.0)) | ((tf_pos > 1.0) & (high_c > 0.0))
+    x = tf_pos * 256.0 - 0.5
+    i0f = jnp.floor(x)
+    frac = x - i0f
+    i0 = jnp.clip(i0f, 0.0, 255.0).astype(jnp.int32)
+    i1 = jnp.clip(i0f + 1.0, 0.0, 255.0).astype(jnp.int32)
+    tfp = tf_ref[:]
+
+    def chan(c, idx):
+        li = idx & 127
+        hi = idx >> 7
+        r0 = jnp.take_along_axis(
+            jnp.broadcast_to(tfp[2 * c:2 * c + 1, :], idx.shape), li, axis=1
+        )
+        r1 = jnp.take_along_axis(
+            jnp.broadcast_to(tfp[2 * c + 1:2 * c + 2, :], idx.shape), li,
+            axis=1
+        )
+        return jnp.where(hi == 0, r0, r1)
+
+    keep = jnp.where(cut, 0.0, 1.0)
+    # alpha chain: clip + step correction
+    a0 = chan(3, i0)
+    a1 = chan(3, i1)
+    a_raw = a0 + (a1 - a0) * frac
+    clipmask = ((a_raw >= 0.0) & (a_raw <= 1.0)).astype(jnp.float32)
+    a_clip = jnp.clip(a_raw, 0.0, 1.0)
+    base = jnp.maximum(1.0 - a_clip, 1e-10)
+    basemask = ((1.0 - a_clip) >= 1e-10).astype(jnp.float32)
+    # d(1 - base^sw)/d a_clip = sw * base^(sw-1) (when base wasn't clamped)
+    dcorr = sw * jnp.exp((sw - 1.0) * jnp.log(base)) * basemask
+
+    g_eff = []
+    gx = jnp.zeros(v.shape, jnp.float32)
+    for c in range(3):
+        gc = g_ref[c] * keep
+        g_eff.append(gc)
+        diff = chan(c, i1) - chan(c, i0)
+        gx = gx + gc * diff
+    ga = g_ref[3] * keep * dcorr * clipmask
+    g_eff.append(ga)
+    gx = gx + ga * (a1 - a0)
+
+    # d/dx where x = tf_pos*256 - 0.5 — zero in the clamp regions (i0==i1
+    # there, so diff==0 already handles it).
+    dval_ref[:] = gx * (256.0 / width)
+
+    # accumulated fields: rows 0-7 dcenter partials, 8-15 dwidth partials
+    dc_field = gx * (-256.0 / width)
+    dw_field = gx * (256.0 * (0.5 - tf_pos) / width)
+
+    @pl.when(pid == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[256:264, :] = acc_ref[256:264, :] + dc_field
+    acc_ref[264:272, :] = acc_ref[264:272, :] + dw_field
+
+    # dTF histogram: per sublane row, one-hot (256, 128) @ weights (128, 4)
+    texel = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    for r in range(8):
+        i0r = jnp.broadcast_to(i0[r:r + 1, :], (256, 128))
+        i1r = jnp.broadcast_to(i1[r:r + 1, :], (256, 128))
+        fr = jnp.broadcast_to(frac[r:r + 1, :], (256, 128))
+        A = jnp.where(texel == i0r, 1.0 - fr, 0.0) + jnp.where(
+            texel == i1r, fr, 0.0
+        )
+        gw = jnp.concatenate(
+            [jnp.reshape(g_eff[c][r, :], (128, 1)) for c in range(4)],
+            axis=1,
+        )  # (128, 4)
+        part = jax.lax.dot_general(
+            A, gw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (256, 4)
+        acc_ref[0:256, 0:4] = acc_ref[0:256, 0:4] + part
+
+
+def _tf_scalars(windowing_vec4):
+    win = jnp.asarray(windowing_vec4, jnp.float32)
+    return jnp.stack([win[0], win[1], win[2], win[3]]).reshape(1, 4)
+
+
+def _tiles(x):
+    n = x.size
+    rows = _ceil_to(max(int(n), 1), 1024) // 128
+    return jnp.pad(x.reshape(-1), (0, rows * 128 - n)).reshape(rows, 128), rows
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def windowed_tf_rgba(values, tf_table, windowing_vec4, step, interpret=None):
+    """Differentiable drop-in for ``sample_windowed_transfer_function``
+    (field ``step`` broadcastable to ``values``): Pallas forward + backward.
+    """
+    return _rgba_fwd(values, tf_table, windowing_vec4, step, interpret)
+
+
+def _rgba_fwd(values, tf_table, windowing_vec4, step, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    shape = values.shape
+    step_b = jnp.broadcast_to(jnp.asarray(step, jnp.float32), shape)
+    flat, rows = _tiles(values)
+    stepf, _ = _tiles(step_b)
+    out = pl.pallas_call(
+        _rgba_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
+        grid=(rows // 8,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, 8, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(_tf_scalars(windowing_vec4), _pack_tf(tf_table), flat, stepf)
+    n = values.size
+    rgba = jnp.moveaxis(out.reshape(4, -1)[:, :n], 0, -1)
+    return rgba.reshape(shape + (4,))
+
+
+def _rgba_vjp_fwd(values, tf_table, windowing_vec4, step, interpret):
+    out = _rgba_fwd(values, tf_table, windowing_vec4, step, interpret)
+    return out, (values, tf_table, windowing_vec4, step)
+
+
+def _rgba_vjp_bwd(interpret, res, g):
+    values, tf_table, windowing_vec4, step = res
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    shape = values.shape
+    step_b = jnp.broadcast_to(jnp.asarray(step, jnp.float32), shape)
+    flat, rows = _tiles(values)
+    stepf, _ = _tiles(step_b)
+    n = values.size
+    gflat = jnp.moveaxis(g.reshape(-1, 4), -1, 0)  # (4, n)
+    gpad = jnp.pad(gflat, ((0, 0), (0, rows * 128 - n))).reshape(4, rows, 128)
+
+    dval, acc = pl.pallas_call(
+        _rgba_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((272, 128), jnp.float32),
+        ),
+        grid=(rows // 8,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((272, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(_tf_scalars(windowing_vec4), _pack_tf(tf_table), flat, stepf, gpad)
+
+    dvalues = dval.reshape(-1)[:n].reshape(shape)
+    dtf = acc[0:256, 0:4]
+    dcenter = jnp.sum(acc[256:264, :])
+    dwidth = jnp.sum(acc[264:272, :])
+    win = jnp.asarray(windowing_vec4, jnp.float32)
+    dwin = jnp.stack([dcenter, dwidth, jnp.float32(0.0), jnp.float32(0.0)])
+    dstep = jnp.zeros_like(jnp.asarray(step, jnp.float32))
+    return (dvalues, dtf.astype(tf_table.dtype), dwin.astype(win.dtype),
+            dstep)
+
+
+windowed_tf_rgba.defvjp(_rgba_vjp_fwd, _rgba_vjp_bwd)

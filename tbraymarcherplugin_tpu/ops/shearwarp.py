@@ -355,6 +355,7 @@ def _resample_block(slices, a1, b1, a2, b2, n1, n2, dtype):
         "early_termination",
         "stop_early",
         "compute_dtype",
+        "tf_unit",
     ),
 )
 def shearwarp_intermediate(
@@ -369,6 +370,7 @@ def shearwarp_intermediate(
     early_termination: float = EARLY_TERMINATION_ALPHA,
     stop_early: bool = False,
     compute_dtype=jnp.float32,
+    tf_unit: str = "xla",
 ) -> jnp.ndarray:
     """Composite the volume front-to-back onto the intermediate ray grid.
 
@@ -464,9 +466,20 @@ def shearwarp_intermediate(
     def block_composite(carry, b):
         rgb_acc, alpha_acc, terminated = carry
         vals, light, m = block_values(b)
-        rgba = sample_windowed_transfer_function(
-            vals, step_world[None], tf_table, windowing_vec4
-        )
+        if tf_unit == "pallas":
+            # Differentiable Pallas TF unit (custom VJP): forward lookups
+            # via lane shuffles, backward histogram on the MXU — the XLA
+            # table gathers/scatters cost seconds/frame here.
+            from .pallas_tf import windowed_tf_rgba
+
+            rgba = windowed_tf_rgba(
+                vals, tf_table, windowing_vec4,
+                jnp.broadcast_to(step_world[None], vals.shape),
+            )
+        else:
+            rgba = sample_windowed_transfer_function(
+                vals, step_world[None], tf_table, windowing_vec4
+            )
         a = jnp.where(m, rgba[..., 3], 0.0)
         rgb = jnp.where(
             m[..., None], rgba[..., :3] * light[..., None], 0.0

@@ -127,3 +127,48 @@ def test_windowed_tf_alpha_matches_xla(rng):
         ))[..., 3]
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
                                    err_msg=str(win))
+
+
+def test_windowed_tf_rgba_fwd_and_vjp_match_xla(rng):
+    """The differentiable TF unit: forward AND all gradients (value, TF
+    texels, window center/width) must match XLA autodiff of
+    sample_windowed_transfer_function."""
+    from tbraymarcherplugin_tpu.ops.pallas_tf import windowed_tf_rgba
+    from tbraymarcherplugin_tpu.ops.sampling import (
+        sample_windowed_transfer_function,
+    )
+    from tbraymarcherplugin_tpu.ops import transfer as T
+
+    vals = jnp.asarray(rng.random((7, 11, 13), dtype=np.float32))
+    step = jnp.asarray(0.5 + rng.random((7, 11, 13), dtype=np.float32))
+    tf = T.tf_from_keypoints(
+        [0, 0.4, 1.0],
+        [[0.1, 0.2, 0.8, 0.05], [0.9, 0.4, 0.2, 0.5], [1, 1, 0.9, 0.95]],
+    )
+    g = jnp.asarray(rng.random((7, 11, 13, 4), dtype=np.float32))
+
+    for winv in ([0.45, 0.7, 1.0, 1.0], [0.5, 1.1, 0.0, 0.0]):
+        win = jnp.asarray(winv, jnp.float32)
+
+        got_f = np.asarray(windowed_tf_rgba(vals, tf, win, step, True))
+        want_f = np.asarray(
+            sample_windowed_transfer_function(vals, step, tf, win)
+        )
+        np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-6)
+
+        def loss_p(v, t, w):
+            return jnp.sum(windowed_tf_rgba(v, t, w, step, True) * g)
+
+        def loss_x(v, t, w):
+            return jnp.sum(
+                sample_windowed_transfer_function(v, step, t, w) * g
+            )
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(vals, tf, win)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(vals, tf, win)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                                   rtol=1e-4, atol=1e-5, err_msg="dvalues")
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                                   rtol=1e-4, atol=1e-5, err_msg="dTF")
+        np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]),
+                                   rtol=1e-4, atol=1e-4, err_msg="dwin")
