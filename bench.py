@@ -318,7 +318,8 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
                 # field's TF-alpha kernel is fwd-only, so it stays XLA.
                 shearwarp_tf_unit="pallas" if _s == "pallas" else "xla",
                 illumination_scan_impl=_s,
-                illumination_tf_impl="xla",
+                illumination_tf_impl="pallas_vjp" if _s == "pallas"
+                else "xla",
             )
 
         try:

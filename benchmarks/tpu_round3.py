@@ -155,7 +155,7 @@ def main():
                 shearwarp_plan=sw_plan, shearwarp_stop_early=False,
                 shearwarp_tf_unit="pallas",  # custom-VJP TF unit
                 illumination_scan_impl="pallas",
-                illumination_tf_impl="xla",  # alpha kernel is fwd-only
+                illumination_tf_impl="pallas_vjp",
             )
             return jnp.mean((img - target) ** 2)
 

@@ -244,6 +244,13 @@ def occluder_opacity_volume(
         opacity = windowed_tf_alpha(
             value, tf_table, windowing_vec4, step_size * VOLUME_DENSITY
         )
+    elif tf_impl == "pallas_vjp":
+        # Differentiable variant (custom-VJP rgba unit, alpha channel).
+        from .pallas_tf import windowed_tf_rgba
+
+        opacity = windowed_tf_rgba(
+            value, tf_table, windowing_vec4, step_size * VOLUME_DENSITY
+        )[..., 3]
     else:
         opacity = sample_windowed_transfer_function(
             value, step_size * VOLUME_DENSITY, tf_table, windowing_vec4

@@ -172,3 +172,34 @@ def test_windowed_tf_rgba_fwd_and_vjp_match_xla(rng):
                                    rtol=1e-4, atol=1e-5, err_msg="dTF")
         np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]),
                                    rtol=1e-4, atol=1e-4, err_msg="dwin")
+
+
+def test_occluder_pallas_vjp_grads_match_xla(rng):
+    """The differentiable occluder path (tf_impl='pallas_vjp') must give the
+    same gradients as the XLA TF lookup."""
+    vol = jnp.asarray(rng.random((12, 12, 12), dtype=np.float32))
+    tf = jnp.asarray(
+        np.linspace(0, 1, 256)[:, None] * np.ones((1, 4)), jnp.float32
+    )
+    win = jnp.asarray([0.5, 1.0, 0.0, 0.0], jnp.float32)
+    cc = jnp.asarray([0.0, 0.0, -1e6], jnp.float32)
+    cd = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    args = (
+        jnp.asarray([0.02, -0.013], jnp.float32),
+        jnp.asarray([0.01, -0.006, 0.02], jnp.float32),
+        jnp.asarray(0.011, jnp.float32),
+    )
+
+    def loss(v, t, impl):
+        lv = L._propagate_one_face(
+            v, t, win, cc, cd, *args, jnp.asarray(0.9), 4, (8, 8, 8), False,
+            scan_impl="pallas", tf_impl=impl,
+        )
+        return jnp.sum(lv * lv)
+
+    gx = jax.grad(loss, argnums=(0, 1))(vol, tf, "xla")
+    gp = jax.grad(loss, argnums=(0, 1))(vol, tf, "pallas_vjp")
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=1e-6)
