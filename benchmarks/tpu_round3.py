@@ -111,12 +111,30 @@ def main():
         print(json.dumps({"rays_per_s": round(n_rays / dt, 1)}), flush=True)
 
     if want("ablate"):
+        from tbraymarcherplugin_tpu.ops.pallas_warp import (
+            warp_to_screen_fused,
+        )
+        from tbraymarcherplugin_tpu.ops.shearwarp_pallas import (
+            shearwarp_intermediate_fused,
+        )
+        lvz = jnp.ones(dims, jnp.float32)
+
+        def fused_only(i, **kw):
+            win = jnp.asarray([0.5 + 1e-4 * i, 0.8, 1.0, 1.0], jnp.float32)
+            inter = shearwarp_intermediate_fused(
+                volume, T.tf_ct_bone(), lvz, sw_plan, win, clip.center,
+                clip.direction, **kw,
+            )
+            return warp_to_screen_fused(inter, sw_plan, W, H)
+
+        timed(lambda i: fused_only(i), frames=3, tag="fused ess+et on")
+        timed(lambda i: fused_only(i, debug_no_skip=True), frames=3,
+              tag="fused ess off")
+        timed(lambda i: fused_only(i, debug_no_skip=True,
+                                   early_termination=2.0), frames=3,
+              tag="fused ess+et off")
         timed(lambda i: frame(i, dtype=jnp.float32), frames=2,
               tag="sw f32 stop")
-        timed(lambda i: frame(i, stop=False), frames=2,
-              tag="sw bf16 no-stop")
-        timed(lambda i: frame(i, scan="xla"), frames=2,
-              tag="sw bf16 stop xla-illum")
 
     if want("illum"):
         for scan in ("pallas", "xla"):

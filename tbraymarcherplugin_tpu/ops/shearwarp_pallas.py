@@ -192,6 +192,7 @@ def _composite_kernel(
         "early_termination",
         "compute_dtype",
         "interpret",
+        "debug_no_skip",
     ),
 )
 def shearwarp_intermediate_fused(
@@ -205,8 +206,13 @@ def shearwarp_intermediate_fused(
     early_termination: float = EARLY_TERMINATION_ALPHA,
     compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
+    debug_no_skip: bool = False,
 ) -> jnp.ndarray:
     """Fused-fast shear-warp composite -> (n1, n2, 4).
+
+    ``debug_no_skip=True`` disables chunk ESS and the per-tile k-interval
+    bounds (ablation knob for measuring the skip benefit; early termination
+    still applies unless ``early_termination`` >= 1).
 
     Same algorithm as :func:`.shearwarp.shearwarp_intermediate` (the
     equality oracle); forward-only. ``compute_dtype`` is the storage type of
@@ -290,6 +296,10 @@ def shearwarp_intermediate_fused(
     last = nch - jnp.argmax(cvalid[:, :, ::-1], axis=2)
     c_lo = jnp.where(anyv, first, 0).astype(jnp.int32)
     c_hi = jnp.where(anyv, last, 0).astype(jnp.int32)
+    if debug_no_skip:
+        occ = jnp.ones_like(occ)
+        c_lo = jnp.zeros_like(c_lo)
+        c_hi = jnp.full_like(c_hi, nch)
     bounds = jnp.stack([c_lo, c_hi], axis=-1).reshape(-1)
 
     # ---- scalar/param packing ----

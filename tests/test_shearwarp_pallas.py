@@ -117,3 +117,17 @@ def test_warp_fused_matches_warp_to_screen(rng):
     got = np.asarray(warp_to_screen_fused(inter, plan, W, H, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert got.max() > 0.05
+
+
+def test_debug_no_skip_is_exact():
+    vol, lv, tf, plan, win = _scene()
+    clip = ClipPlane.disabled()
+    a = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    b = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, debug_no_skip=True,
+    ))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
