@@ -45,10 +45,12 @@ def main():
     cam = Camera.look_at([0.1, -2.3, 0.4], [0, 0, 0], fov_degrees=40.0)
     rays = setup_rays(cam, VolumeTransform.create(), 1920, 1080)
     n = args.rays
+    total = rays.thickness.size
+    start = max(0, total // 2 - n // 2)  # center rays: they hit the volume
     flat = RayBatch(
-        rays.entry.reshape(-1, 3)[:n],
-        rays.direction.reshape(-1, 3)[:n],
-        rays.thickness.reshape(-1)[:n],
+        rays.entry.reshape(-1, 3)[start:start + n],
+        rays.direction.reshape(-1, 3)[start:start + n],
+        rays.thickness.reshape(-1)[start:start + n],
     )
     win = jnp.asarray([0.5, 0.8, 1.0, 1.0], jnp.float32)
     cc = jnp.asarray([0.0, 0.0, -1e6], jnp.float32)
