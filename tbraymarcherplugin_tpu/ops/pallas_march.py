@@ -665,6 +665,13 @@ def march_lit_pallas(
 
     if light_window is None:
         light_window = scale_light_window(window, pvol.dims, plight.dims)
+    # Clamping the requested window to the swizzle's pencil counts is safe,
+    # not silent degradation (ADVICE r2): the clamp binds only when the
+    # window meets or exceeds the volume's entire padded extent on that
+    # axis — in which case the clamped window already holds every pencil
+    # and coverage is total. A swizzle whose min_window was smaller than
+    # ``window`` only changes npx/npy/zp for volumes SMALLER than the
+    # window span, which is exactly the total-coverage case.
     vwin = (
         min(window[0], pvol.npx),
         min(window[1], pvol.npy),
