@@ -82,7 +82,10 @@ def windowed_tf_alpha(
     n = 1
     for d in shape:
         n *= int(d)
-    rows = _ceil_to(max(n, 1), 1024) // 128
+    # 512-row blocks: tiny (8,128) programs made per-program overhead the
+    # dominant cost at 16M voxels (~16K grid steps).
+    BR = 512
+    rows = _ceil_to(max(n, 1), BR * 128) // 128
     flat = jnp.pad(values.reshape(-1), (0, rows * 128 - n)).reshape(rows, 128)
     win = jnp.asarray(windowing_vec4, jnp.float32)
     sc = jnp.stack([
@@ -92,14 +95,14 @@ def windowed_tf_alpha(
     out = pl.pallas_call(
         _alpha_kernel,
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
-        grid=(rows // 8,),
+        grid=(rows // BR,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((BR, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(sc, _pack_tf(tf_table), flat)
@@ -225,27 +228,54 @@ def _rgba_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[256:264, :] = acc_ref[256:264, :] + dc_field
-    acc_ref[264:272, :] = acc_ref[264:272, :] + dw_field
+    # fold the (BR, 128) partial fields down to 8 rows before accumulating
+    nrows8 = v.shape[0] // 8
+    acc_ref[256:264, :] = acc_ref[256:264, :] + jnp.sum(
+        dc_field.reshape(nrows8, 8, 128), axis=0
+    )
+    acc_ref[264:272, :] = acc_ref[264:272, :] + jnp.sum(
+        dw_field.reshape(nrows8, 8, 128), axis=0
+    )
 
-    # dTF histogram: per sublane row, one-hot (256, 128) @ weights (128, 4)
+    # dTF histogram: per sublane row, one-hot (256, 128) @ weights (128, 4);
+    # fori over the block's rows with a carried accumulator (the block is
+    # BR rows — unrolling would blow compile time).
     texel = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
-    for r in range(8):
-        i0r = jnp.broadcast_to(i0[r:r + 1, :], (256, 128))
-        i1r = jnp.broadcast_to(i1[r:r + 1, :], (256, 128))
-        fr = jnp.broadcast_to(frac[r:r + 1, :], (256, 128))
+    n_rows = v.shape[0]
+
+    def hist_row(r, acc):
+        i0r = jnp.broadcast_to(
+            jax.lax.dynamic_slice(i0, (r, 0), (1, 128)), (256, 128)
+        )
+        i1r = jnp.broadcast_to(
+            jax.lax.dynamic_slice(i1, (r, 0), (1, 128)), (256, 128)
+        )
+        fr = jnp.broadcast_to(
+            jax.lax.dynamic_slice(frac, (r, 0), (1, 128)), (256, 128)
+        )
         A = jnp.where(texel == i0r, 1.0 - fr, 0.0) + jnp.where(
             texel == i1r, fr, 0.0
         )
         gw = jnp.concatenate(
-            [jnp.reshape(g_eff[c][r, :], (128, 1)) for c in range(4)],
+            [
+                jnp.reshape(
+                    jax.lax.dynamic_slice(g_eff[c], (r, 0), (1, 128)),
+                    (128, 1),
+                )
+                for c in range(4)
+            ],
             axis=1,
         )  # (128, 4)
         part = jax.lax.dot_general(
             A, gw, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (256, 4)
-        acc_ref[0:256, 0:4] = acc_ref[0:256, 0:4] + part
+        return acc + part
+
+    hist = jax.lax.fori_loop(
+        0, n_rows, hist_row, jnp.zeros((256, 4), jnp.float32)
+    )
+    acc_ref[0:256, 0:4] = acc_ref[0:256, 0:4] + hist
 
 
 def _tf_scalars(windowing_vec4):
@@ -255,7 +285,7 @@ def _tf_scalars(windowing_vec4):
 
 def _tiles(x):
     n = x.size
-    rows = _ceil_to(max(int(n), 1), 1024) // 128
+    rows = _ceil_to(max(int(n), 1), 256 * 128) // 128
     return jnp.pad(x.reshape(-1), (0, rows * 128 - n)).reshape(rows, 128), rows
 
 
@@ -274,19 +304,20 @@ def _rgba_fwd(values, tf_table, windowing_vec4, step, interpret):
     step_b = jnp.broadcast_to(jnp.asarray(step, jnp.float32), shape)
     flat, rows = _tiles(values)
     stepf, _ = _tiles(step_b)
+    BR = 256  # batch rows per program (grid-step overhead amortization)
     out = pl.pallas_call(
         _rgba_fwd_kernel,
         out_shape=jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
-        grid=(rows // 8,),
+        grid=(rows // BR,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, 8, 128), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((4, BR, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(_tf_scalars(windowing_vec4), _pack_tf(tf_table), flat, stepf)
@@ -312,25 +343,26 @@ def _rgba_vjp_bwd(interpret, res, g):
     gflat = jnp.moveaxis(g.reshape(-1, 4), -1, 0)  # (4, n)
     gpad = jnp.pad(gflat, ((0, 0), (0, rows * 128 - n))).reshape(4, rows, 128)
 
+    BR = 64
     dval, acc = pl.pallas_call(
         _rgba_bwd_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((272, 128), jnp.float32),
         ),
-        grid=(rows // 8,),
+        grid=(rows // BR,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((4, BR, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((8, 128), lambda i: (i, 0),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((272, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
