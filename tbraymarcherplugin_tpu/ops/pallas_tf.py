@@ -243,25 +243,21 @@ def _rgba_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
     texel = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
     n_rows = v.shape[0]
 
+    def row_of(arr, r):
+        # dynamic row extraction: Mosaic has no dynamic_slice on values,
+        # but sublane roll with a dynamic shift lowers fine.
+        return pltpu.roll(arr, -r, axis=0)[0:1, :]
+
     def hist_row(r, acc):
-        i0r = jnp.broadcast_to(
-            jax.lax.dynamic_slice(i0, (r, 0), (1, 128)), (256, 128)
-        )
-        i1r = jnp.broadcast_to(
-            jax.lax.dynamic_slice(i1, (r, 0), (1, 128)), (256, 128)
-        )
-        fr = jnp.broadcast_to(
-            jax.lax.dynamic_slice(frac, (r, 0), (1, 128)), (256, 128)
-        )
+        i0r = jnp.broadcast_to(row_of(i0, r), (256, 128))
+        i1r = jnp.broadcast_to(row_of(i1, r), (256, 128))
+        fr = jnp.broadcast_to(row_of(frac, r), (256, 128))
         A = jnp.where(texel == i0r, 1.0 - fr, 0.0) + jnp.where(
             texel == i1r, fr, 0.0
         )
         gw = jnp.concatenate(
             [
-                jnp.reshape(
-                    jax.lax.dynamic_slice(g_eff[c], (r, 0), (1, 128)),
-                    (128, 1),
-                )
+                jnp.reshape(row_of(g_eff[c], r), (128, 1))
                 for c in range(4)
             ],
             axis=1,
