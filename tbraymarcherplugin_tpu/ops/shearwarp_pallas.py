@@ -236,55 +236,33 @@ def shearwarp_intermediate_fused(
             [x, jnp.full((n - x.shape[0],) + x.shape[1:], value, x.dtype)], 0
         ) if x.shape[0] < n else x
 
-    # ---- chunk occupancy (ESS): interval query on per-chunk value range ---
-    from .transfer import windowed_tf_range_occupied
-
+    # ---- XLA stage: pre-shear every plane with batched banded matmuls ----
     msrc = plan.m_src
     vplanes = jnp.take(vol_t, msrc, axis=0)  # (K, D1, D2)
     l0 = jnp.take(light_t, plan.lm0, axis=0)
     l1 = jnp.take(light_t, jnp.minimum(plan.lm0 + 1, light_t.shape[0] - 1),
                   axis=0)
     lplanes = l0 * (1.0 - plan.lmt[:, None, None]) + l1 * plan.lmt[:, None, None]
-    vplanes = pad_to(vplanes, Kp)
-    lplanes = pad_to(lplanes, Kp)
-    a1p_, b1p_, a2p_, b2p_ = (pad_to(x, Kp) for x in
-                              (plan.a1, plan.b1, plan.a2, plan.b2))
-    la1p, lb1p, la2p, lb2p = (pad_to(x, Kp) for x in
-                              (plan.la1, plan.lb1, plan.la2, plan.lb2))
 
-    sl_mn = jnp.min(vplanes, axis=(1, 2)).at[K:].set(jnp.inf)
-    sl_mx = jnp.max(vplanes, axis=(1, 2)).at[K:].set(-jnp.inf)
+    W = SW._resample_block(
+        vplanes, plan.a1, plan.b1, plan.a2, plan.b2, n1, n2, compute_dtype
+    ).astype(compute_dtype)  # (K, n1, n2)
+    L = SW._resample_block(
+        lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2, n1, n2, compute_dtype
+    ).astype(compute_dtype)
+    W = pad_to(W, Kp)
+    L = pad_to(L, Kp)
+
+    # ---- chunk occupancy (ESS): interval query on per-chunk value range ---
+    from .transfer import windowed_tf_range_occupied
+
+    sl_mn = pad_to(jnp.min(vplanes, axis=(1, 2)), Kp, value=jnp.inf)
+    sl_mx = pad_to(jnp.max(vplanes, axis=(1, 2)), Kp, value=-jnp.inf)
     occ = windowed_tf_range_occupied(
         jnp.min(sl_mn.reshape(nch, KB), axis=1),
         jnp.max(sl_mx.reshape(nch, KB), axis=1),
         windowing_vec4, tf_table,
     ).astype(jnp.int32)
-
-    # ---- XLA stage: pre-shear per chunk, gated on occupancy — a chunk the
-    # kernel will skip needs no resample matmuls or field writes ----
-    def resample_chunk(c):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * KB, KB)
-
-        def do(_):
-            w = SW._resample_block(
-                sl(vplanes), sl(a1p_), sl(b1p_), sl(a2p_), sl(b2p_),
-                n1, n2, compute_dtype,
-            ).astype(compute_dtype)
-            lf = SW._resample_block(
-                sl(lplanes), sl(la1p), sl(lb1p), sl(la2p), sl(lb2p),
-                n1, n2, compute_dtype,
-            ).astype(compute_dtype)
-            return w, lf
-
-        def skip(_):
-            z = jnp.zeros((KB, n1, n2), compute_dtype)
-            return z, z
-
-        return jax.lax.cond(occ[c] != 0, do, skip, None)
-
-    Wc, Lc = jax.lax.map(resample_chunk, jnp.arange(nch))
-    W = Wc.reshape(Kp, n1, n2)
-    L = Lc.reshape(Kp, n1, n2)
 
     # ---- per-tile chunk bounds: a border tile only intersects the cube's
     # shrinking preimage for a k-interval; skip the rest of its loop ----
