@@ -1,6 +1,13 @@
 """Microbenchmarks for the shear-warp renderer design (round 3).
 
-Measures, on the real chip:
+WARNING — HISTORICAL / UNSAFE TIMING: these loops time repeated identical
+dispatches, which the axon tunnel MEMOIZES — the numbers this script
+produced during round 3 were off by orders of magnitude (e.g. "6 PFLOP/s
+matmuls") and misled the early design. Kept as a cautionary record; use
+`benchmarks/tpu_round3.py`'s varied-input + checksum protocol for any real
+measurement.
+
+Originally intended to measure, on the real chip:
   1. small-table gather: jnp.take(256-entry TF, N indices)  [composite TF lookup]
   2. small-bin scatter-add: N values into 256 bins          [dTF histogram]
   3. batched bf16/f32 matmul at pre-shear shapes            [slice resampling]
