@@ -37,6 +37,9 @@ class FitConfig:
     march_impl: str = "blocked"
     shearwarp_plan: object = None
     illumination_scan: str = "xla"
+    # Occluder-field TF unit; None lets the pipeline pick a differentiable
+    # default ("pallas_vjp" when illumination_scan="pallas").
+    illumination_tf_impl: str | None = None
 
 
 def image_loss(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -65,6 +68,7 @@ def make_loss_fn(
             march_impl=config.march_impl,
             shearwarp_plan=config.shearwarp_plan,
             illumination_scan_impl=config.illumination_scan,
+            illumination_tf_impl=config.illumination_tf_impl,
         )
         loss = image_loss(img, target)
         if config.tf_smoothness_weight:

@@ -102,6 +102,14 @@ def compute_illumination(
         from ..parallel.overlap import mark_tree
 
         params = mark_tree(params, grad_allreduce_axis)
+    # This is the differentiable pipeline: when the fused Pallas scan is
+    # selected, default the occluder TF unit to the custom-VJP kernel —
+    # the forward-only `windowed_tf_alpha` has no VJP and would fail loudly
+    # under jax.grad (ADVICE r3). Forward-only callers (the interactive
+    # Renderer) go through `lighting.add_dir_light`, which keeps the cheaper
+    # alpha-only kernel as its default.
+    if tf_impl is None and scan_impl == "pallas":
+        tf_impl = "pallas_vjp"
     win = _windowing_vec4(params, low_cutoff, high_cutoff)
     lv = jnp.zeros(tuple(light_dims), jnp.float32)
     for li, plan in enumerate(light_plans):

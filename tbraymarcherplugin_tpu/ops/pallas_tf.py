@@ -164,7 +164,7 @@ def _rgba_fwd_kernel(sc_ref, tf_ref, val_ref, step_ref, out_ref):
 
 
 def _rgba_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
-                     dval_ref, acc_ref):
+                     dval_ref, dstep_ref, acc_ref):
     pid = pl.program_id(0)
     center = sc_ref[0, 0]
     width = sc_ref[0, 1]
@@ -219,6 +219,11 @@ def _rgba_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
     # d/dx where x = tf_pos*256 - 0.5 — zero in the clamp regions (i0==i1
     # there, so diff==0 already handles it).
     dval_ref[:] = gx * (256.0 / width)
+
+    # d alpha / d step: alpha = 1 - base^sw -> -base^sw * log(base); the
+    # base clamp only gates the a_clip chain, not the sw exponent.
+    logb = jnp.log(base)
+    dstep_ref[:] = g_ref[3] * keep * (-jnp.exp(sw * logb)) * logb
 
     # accumulated fields: rows 0-7 dcenter partials, 8-15 dwidth partials
     dc_field = gx * (-256.0 / width)
@@ -340,9 +345,10 @@ def _rgba_vjp_bwd(interpret, res, g):
     gpad = jnp.pad(gflat, ((0, 0), (0, rows * 128 - n))).reshape(4, rows, 128)
 
     BR = 64
-    dval, acc = pl.pallas_call(
+    dval, dstep_f, acc = pl.pallas_call(
         _rgba_bwd_kernel,
         out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((272, 128), jnp.float32),
         ),
@@ -360,6 +366,8 @@ def _rgba_vjp_bwd(interpret, res, g):
         out_specs=(
             pl.BlockSpec((BR, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((272, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -372,7 +380,20 @@ def _rgba_vjp_bwd(interpret, res, g):
     dwidth = jnp.sum(acc[264:272, :])
     win = jnp.asarray(windowing_vec4, jnp.float32)
     dwin = jnp.stack([dcenter, dwidth, jnp.float32(0.0), jnp.float32(0.0)])
-    dstep = jnp.zeros_like(jnp.asarray(step, jnp.float32))
+    # step may have been broadcast to values' shape: reduce the full-field
+    # cotangent back over the broadcast axes.
+    step_arr = jnp.asarray(step, jnp.float32)
+    dstep = dstep_f.reshape(-1)[:n].reshape(shape)
+    if step_arr.ndim < dstep.ndim:
+        dstep = jnp.sum(
+            dstep, axis=tuple(range(dstep.ndim - step_arr.ndim))
+        )
+    sum_axes = tuple(
+        i for i, (ds, ss) in enumerate(zip(dstep.shape, step_arr.shape))
+        if ss == 1 and ds != 1
+    )
+    if sum_axes:
+        dstep = jnp.sum(dstep, axis=sum_axes, keepdims=True)
     return (dvalues, dtf.astype(tf_table.dtype), dwin.astype(win.dtype),
             dstep)
 

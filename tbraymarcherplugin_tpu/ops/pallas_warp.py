@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,10 +47,12 @@ def _band_kernel(idx_ref, rows_hbm, out_ref, band, sem, *, n_src):
         rows_hbm.at[pl.ds(i0, 8), pl.ds(start, BAND)], band, sem
     ).wait()
 
-    local = jnp.clip(idx - start.astype(jnp.float32), 0.0,
-                     float(BAND - 1) - 1e-3)
-    l0 = jnp.floor(local)
-    fr = local - l0
+    # Exact _lerp_take semantics: i0 = floor(x) clipped so i0+1 stays in
+    # band, fr in [0, 1] (fr == 1 at the band's last texel reads it exactly
+    # via tap(1) — no epsilon shift of the top-edge lerp weight).
+    local = jnp.clip(idx - start.astype(jnp.float32), 0.0, float(BAND - 1))
+    l0 = jnp.clip(jnp.floor(local), 0.0, float(BAND - 2))
+    fr = jnp.clip(local - l0, 0.0, 1.0)
     l0i = l0.astype(jnp.int32)
 
     def tap(dl):
@@ -106,6 +109,66 @@ def banded_row_lerp(rows: jnp.ndarray, idx: jnp.ndarray,
     return out[:R, :Q]
 
 
+def warp_band_max_spread(plan, width: int, height: int) -> float:
+    """Host-side (numpy) mirror of the fused warp's two index fields: the
+    largest per-(8, 128)-tile index spread either pass will see. The banded
+    kernel is exact iff every tile's indices fit its one DMA band."""
+    p1r = np.asarray(plan.p1row, np.float64)
+    p2r = np.asarray(plan.p2row, np.float64)
+    pdr = np.asarray(plan.pdrow, np.float64)
+    if plan.swap_warp:
+        perm = [1, 0, 2]
+        p1r, p2r, pdr = p1r[perm], p2r[perm], pdr[perm]
+        W, H = height, width
+    else:
+        W, H = width, height
+    o1 = float(plan.o1); d1 = float(plan.d1)
+    o2 = float(plan.o2); d2 = float(plan.d2)
+    n1, n2 = plan.n1, plan.n2
+    u = np.arange(W, dtype=np.float64)[:, None]
+
+    jj = np.arange(n2, dtype=np.float64)
+    p2_of_j = o2 + (jj + 0.5) * d2
+    n2u = p2r[0] * u + p2r[2]
+    dnu = pdr[0] * u + pdr[2]
+    denv = p2r[1] - p2_of_j[None, :] * pdr[1]
+    denv = np.where(np.abs(denv) < 1e-12, 1e-12, denv)
+    v_star = (p2_of_j[None, :] * dnu - n2u) / denv
+    den_s = pdr[0] * u + pdr[1] * v_star + pdr[2]
+    den_s = np.where(np.abs(den_s) < 1e-12, 1e-12, den_s)
+    p1_s = (p1r[0] * u + p1r[1] * v_star + p1r[2]) / den_s
+    idx1 = np.clip((p1_s - o1) / d1 - 0.5, 0.0, n1 - 1).T  # (n2, W)
+
+    v = np.arange(H, dtype=np.float64)[None, :]
+    den = pdr[0] * u + pdr[1] * v + pdr[2]
+    den = np.where(np.abs(den) < 1e-9, 1.0, den)
+    p2uv = (p2r[0] * u + p2r[1] * v + p2r[2]) / den
+    idx2 = np.clip((p2uv - o2) / d2 - 0.5, 0.0, n2 - 1)  # (W, H)
+
+    def tile_spread(idx):
+        R, Q = idx.shape
+        Rp, Qp = _ceil_to(R, 8), _ceil_to(Q, 128)
+        idx = np.pad(idx, ((0, Rp - R), (0, Qp - Q)), mode="edge")
+        t = idx.reshape(Rp // 8, 8, Qp // 128, 128)
+        return float((t.max(axis=(1, 3)) - t.min(axis=(1, 3))).max())
+
+    return max(tile_spread(idx1), tile_spread(idx2))
+
+
+def assert_warp_band(plan, width: int, height: int) -> None:
+    """Loud guard for the banded-warp contract: the kernel's band start is
+    down-aligned to 128, so a tile is exact iff its index spread fits in
+    BAND - 128 - 2 texels. Out-of-band indices would silently clamp
+    (quality loss); raise instead so callers fall back to the XLA warp."""
+    spread = warp_band_max_spread(plan, width, height)
+    if spread > BAND - 130:
+        raise RuntimeError(
+            f"banded warp contract violated: per-tile index spread "
+            f"{spread:.1f} > {BAND - 130} (BAND={BAND}); use the XLA warp "
+            f"(shearwarp.warp_to_screen) for this plan"
+        )
+
+
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def warp_to_screen_fused(
     intermediate: jnp.ndarray,
@@ -144,10 +207,18 @@ def warp_to_screen_fused(
     C = intermediate.shape[-1]
     I_t = jnp.transpose(intermediate, (2, 1, 0))  # (C, n2, n1)
     idx1 = jnp.transpose(i_star, (1, 0))  # (n2, W)
-    rows1 = I_t.reshape(C * n2, n1)
-    idx1c = jnp.tile(idx1, (C, 1))
+    # Pad each channel's row block to a multiple of 8 BEFORE flattening:
+    # the band kernel computes one DMA start per 8-row tile, so a tile must
+    # never straddle a channel boundary — the first rows of the next channel
+    # have unrelated index ranges and would blow the band (silent clamp
+    # corruption when n2 % 8 != 0; same for W in pass 2).
+    n2p = _ceil_to(n2, 8)
+    I_p = jnp.pad(I_t, ((0, 0), (0, n2p - n2), (0, 0)), mode="edge")
+    idx1p = jnp.pad(idx1, ((0, n2p - n2), (0, 0)), mode="edge")
+    rows1 = I_p.reshape(C * n2p, n1)
+    idx1c = jnp.tile(idx1p, (C, 1))
     M = banded_row_lerp(rows1, idx1c, interpret=interpret)
-    M = M.reshape(C, n2, -1)  # (C, n2, W)
+    M = M.reshape(C, n2p, -1)[:, :n2]  # (C, n2, W)
 
     den = pdr[0] * u[:, None] + pdr[1] * v[None, :] + pdr[2]
     ok = jnp.abs(den) > 1e-9
@@ -157,10 +228,13 @@ def warp_to_screen_fused(
     tplane = (plan.z0 - plan.cam[plan.axis]) / den
     j_uv = (p2uv - o2) / d2 - 0.5  # (W, H)
     M_t = jnp.transpose(M, (0, 2, 1))  # (C, W, n2)
-    rows2 = M_t.reshape(C * M_t.shape[1], n2)
-    idx2c = jnp.tile(j_uv, (C, 1))
+    Wp = _ceil_to(W, 8)  # channel-aligned tiles (see pass-1 comment)
+    M_p = jnp.pad(M_t, ((0, 0), (0, Wp - W), (0, 0)), mode="edge")
+    idx2p = jnp.pad(j_uv, ((0, Wp - W), (0, 0)), mode="edge")
+    rows2 = M_p.reshape(C * Wp, n2)
+    idx2c = jnp.tile(idx2p, (C, 1))
     S = banded_row_lerp(rows2, idx2c, interpret=interpret)
-    S = S.reshape(C, -1, H)  # (C, W, H)
+    S = S.reshape(C, Wp, H)[:, :W]  # (C, W, H)
 
     i_uv = (p1uv - o1) / d1 - 0.5
     valid = (

@@ -397,6 +397,18 @@ class Renderer:
                 self.light_volume.shape, width, height,
             )
             self._sw_key = key
+            # Banded-warp contract guard: out-of-band indices would clamp
+            # silently; verify per-tile index spreads at plan time and route
+            # the warp through the exact XLA path when violated.
+            self._sw_band_ok = False
+            if self._sw_plan is not None:
+                from .ops.pallas_warp import assert_warp_band
+
+                try:
+                    assert_warp_band(self._sw_plan, width, height)
+                    self._sw_band_ok = True
+                except RuntimeError as e:
+                    log.warning("fused warp disabled for this plan: %s", e)
         if self._sw_plan is None:
             raise ValueError(
                 "shear-warp factorization unavailable (camera inside the "
@@ -411,7 +423,9 @@ class Renderer:
                 win, local_clip.center, local_clip.direction,
                 early_termination=self.config.early_termination,
             )
-            return warp_to_screen_fused(inter, self._sw_plan, width, height)
+            if self._sw_band_ok:
+                return warp_to_screen_fused(inter, self._sw_plan, width, height)
+            return SW.warp_to_screen(inter, self._sw_plan, width, height)
         return SW.shearwarp_lit(
             self.volume, self.tf_table, self.light_volume, self._sw_plan,
             win, local_clip.center, local_clip.direction, width, height,

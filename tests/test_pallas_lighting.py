@@ -156,22 +156,31 @@ def test_windowed_tf_rgba_fwd_and_vjp_match_xla(rng):
         )
         np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-6)
 
-        def loss_p(v, t, w):
-            return jnp.sum(windowed_tf_rgba(v, t, w, step, True) * g)
+        def loss_p(v, t, w, s):
+            return jnp.sum(windowed_tf_rgba(v, t, w, s, True) * g)
 
-        def loss_x(v, t, w):
+        def loss_x(v, t, w, s):
             return jnp.sum(
-                sample_windowed_transfer_function(v, step, t, w) * g
+                sample_windowed_transfer_function(v, s, t, w) * g
             )
 
-        gp = jax.grad(loss_p, argnums=(0, 1, 2))(vals, tf, win)
-        gx = jax.grad(loss_x, argnums=(0, 1, 2))(vals, tf, win)
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(vals, tf, win, step)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(vals, tf, win, step)
         np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
                                    rtol=1e-4, atol=1e-5, err_msg="dvalues")
         np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                    rtol=1e-4, atol=1e-5, err_msg="dTF")
         np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gx[2]),
                                    rtol=1e-4, atol=1e-4, err_msg="dwin")
+        np.testing.assert_allclose(np.asarray(gp[3]), np.asarray(gx[3]),
+                                   rtol=1e-4, atol=1e-5, err_msg="dstep")
+        # broadcast step: the cotangent must reduce over broadcast axes
+        s2 = jnp.asarray(0.9, jnp.float32)
+        gp3 = jax.grad(loss_p, argnums=3)(vals, tf, win, s2)
+        gx3 = jax.grad(loss_x, argnums=3)(vals, tf, win, s2)
+        np.testing.assert_allclose(np.asarray(gp3), np.asarray(gx3),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg="dstep scalar")
 
 
 def test_occluder_pallas_vjp_grads_match_xla(rng):

@@ -119,6 +119,44 @@ def test_warp_fused_matches_warp_to_screen(rng):
     assert got.max() > 0.05
 
 
+def test_warp_fused_non_multiple_of_8_sizes(rng):
+    """Regression (ADVICE r3): when W (or H under swap_warp) % 8 != 0 an
+    8-row kernel tile used to straddle the channel boundary and mix rows
+    with divergent index ranges -> silent band clamp corruption."""
+    from tbraymarcherplugin_tpu.ops.pallas_warp import warp_to_screen_fused
+    from tbraymarcherplugin_tpu.scene import Camera, VolumeTransform
+
+    # rolled camera (the advisor's repro had roll) + odd screen sizes
+    cam = Camera.look_at(
+        [0.3, -2.1, 0.6], [0.0, 0.0, 0.0], fov_degrees=40.0,
+        up=[0.35, 0.2, 0.91],
+    )
+    tr = VolumeTransform.create()
+    for Wo, Ho in ((93, 61), (100, 52)):
+        plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, Wo, Ho, max_n=128)
+        assert plan is not None
+        inter = jnp.asarray(
+            rng.random((plan.n1, plan.n2, 4), dtype=np.float32)
+        )
+        want = np.asarray(SW.warp_to_screen(inter, plan, Wo, Ho))
+        got = np.asarray(
+            warp_to_screen_fused(inter, plan, Wo, Ho, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_warp_band_guard():
+    """The banded-warp contract guard measures per-tile index spread."""
+    from tbraymarcherplugin_tpu.ops.pallas_warp import (
+        BAND, warp_band_max_spread, assert_warp_band,
+    )
+
+    _, _, _, plan, _ = _scene()
+    spread = warp_band_max_spread(plan, W, H)
+    assert 0.0 < spread <= BAND - 130
+    assert_warp_band(plan, W, H)  # must not raise for a capped plan
+
+
 def test_debug_no_skip_is_exact():
     vol, lv, tf, plan, win = _scene()
     clip = ClipPlane.disabled()
