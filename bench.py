@@ -130,7 +130,13 @@ def main() -> int:
     sw_plan = None
     pallas_window = None
     if impl in ("auto", "shearwarp"):
-        sw_plan = SWM.plan_shearwarp(cam, transform, dims, dims, width, height)
+        # max_planes = step_count: the headline claims "<step_count>st", so
+        # sample the slab with exactly that many planes (the reference's
+        # RaymarchingSteps density), not one per voxel slice.
+        sw_plan = SWM.plan_shearwarp(
+            cam, transform, dims, dims, width, height,
+            max_planes=step_count,
+        )
         if sw_plan is not None:
             impl = "shearwarp"
         elif impl == "shearwarp":
@@ -301,6 +307,7 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
     chain = []
     if sw_plan is not None:
         if on_tpu:
+            chain.append(("shearwarp", "fused"))
             chain.append(("shearwarp", "pallas"))
         chain.append(("shearwarp", "xla"))
     chain.append(("tiled2d", "xla"))
@@ -316,9 +323,13 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
                 # Differentiable fast units: pallas scan (adjoint shift-scan
                 # VJP) + pallas TF unit (MXU-histogram VJP); the occluder
                 # field's TF-alpha kernel is fwd-only, so it stays XLA.
-                shearwarp_tf_unit="pallas" if _s == "pallas" else "xla",
-                illumination_scan_impl=_s,
-                illumination_tf_impl="pallas_vjp" if _s == "pallas"
+                shearwarp_tf_unit=(
+                    "fused" if _s == "fused"
+                    else "pallas" if _s == "pallas" else "xla"
+                ),
+                illumination_scan_impl="pallas" if _s in ("pallas", "fused")
+                else _s,
+                illumination_tf_impl="pallas_vjp" if _s in ("pallas", "fused")
                 else "xla",
             )
 

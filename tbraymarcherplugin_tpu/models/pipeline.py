@@ -240,19 +240,38 @@ def render_lit_scene(
                 compute_dtype=shearwarp_dtype,
             )
             return warp_to_screen_fused(inter, shearwarp_plan, w, h)
-        inter = SWM.shearwarp_intermediate(
-            march_volume,
-            march_tf,
-            lv,
-            shearwarp_plan,
-            march_win,
-            clip_center,
-            clip_direction,
-            early_termination=early_termination,
-            stop_early=shearwarp_stop_early,
-            compute_dtype=shearwarp_dtype,
-            tf_unit=shearwarp_tf_unit,
-        )
+        if shearwarp_tf_unit == "fused":
+            # North-star differentiable path: fused Pallas composite with
+            # the hand-derived reverse-sweep backward (`ops/shearwarp_grad`)
+            # — no checkpointed recompute, cotangents for volume/light flow
+            # through the transposed resample matmuls.
+            from ..ops.shearwarp_grad import shearwarp_intermediate_fused_diff
+
+            inter = shearwarp_intermediate_fused_diff(
+                march_volume,
+                march_tf,
+                lv,
+                shearwarp_plan,
+                march_win,
+                clip_center,
+                clip_direction,
+                early_termination=early_termination,
+                compute_dtype=shearwarp_dtype,
+            )
+        else:
+            inter = SWM.shearwarp_intermediate(
+                march_volume,
+                march_tf,
+                lv,
+                shearwarp_plan,
+                march_win,
+                clip_center,
+                clip_direction,
+                early_termination=early_termination,
+                stop_early=shearwarp_stop_early,
+                compute_dtype=shearwarp_dtype,
+                tf_unit=shearwarp_tf_unit,
+            )
         return SWM.warp_to_screen(inter, shearwarp_plan, w, h)
     if march_impl == "pallas":
         from ..ops import pallas_march as PM

@@ -198,7 +198,12 @@ def _rgba_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
     a0 = chan(3, i0)
     a1 = chan(3, i1)
     a_raw = a0 + (a1 - a0) * frac
-    clipmask = ((a_raw >= 0.0) & (a_raw <= 1.0)).astype(jnp.float32)
+    # match XLA clip's 0.5 subgradient at exact boundary ties (TF alpha
+    # plateaus at exactly 0/1 interpolate to exact boundary values)
+    clipmask = jnp.where(
+        (a_raw > 0.0) & (a_raw < 1.0), 1.0,
+        jnp.where((a_raw == 0.0) | (a_raw == 1.0), 0.5, 0.0),
+    )
     a_clip = jnp.clip(a_raw, 0.0, 1.0)
     base = jnp.maximum(1.0 - a_clip, 1e-10)
     basemask = ((1.0 - a_clip) >= 1e-10).astype(jnp.float32)

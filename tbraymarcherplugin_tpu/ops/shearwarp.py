@@ -81,6 +81,10 @@ class ShearWarpPlan:
     # --- per-plane arrays (K,) ---
     m_src: jax.Array  # volume slice index per traversal position (int32)
     lam: jax.Array  # λ per plane
+    # fractional dominant-axis sampling (None when planes sit exactly on
+    # voxel centers): plane value = (1-mfrac)·slice[m_src] + mfrac·slice[msrc_hi]
+    msrc_hi: jax.Array | None
+    mfrac: jax.Array | None
     a1: jax.Array  # sample voxel coord along axes12[0]: v1 = a1 + b1 * i
     b1: jax.Array
     a2: jax.Array
@@ -135,6 +139,7 @@ def plan_shearwarp(
     oversample: float = 1.0,
     max_n: int = 2048,
     align: int = 128,
+    max_planes: int | None = None,
 ):
     """Build a :class:`ShearWarpPlan`, or return ``None`` when the geometry
     is outside the factorization's domain (camera inside the dominant slab,
@@ -157,19 +162,28 @@ def plan_shearwarp(
     a1_axis, a2_axis = [a for a in range(3) if a != d_axis]
     D = vol_dims[d_axis]
 
-    # Plane depths at voxel centers, ordered front-to-back from the camera.
-    w = (np.arange(D) + 0.5) / D
-    if c[d_axis] > 0.5:
-        m_src = np.arange(D - 1, -1, -1)
+    # Plane depths ordered front-to-back from the camera. At full quality
+    # planes sit on voxel centers (exact slice takes); with ``max_planes``
+    # (the shear-warp analogue of the reference's `RaymarchingSteps` density
+    # knob, `RaymarchVolume.h:186-189`) K uniformly-spaced planes sample
+    # between slices via a two-slice lerp.
+    if max_planes is None or max_planes >= D:
+        idx = np.arange(D, dtype=np.float64)
     else:
-        m_src = np.arange(D)
-    wp = w[m_src]
+        idx = np.linspace(0.0, D - 1.0, max(int(max_planes), 2))
+    if c[d_axis] > 0.5:
+        idx = idx[::-1]
+    wp = (idx + 0.5) / D
+    m0 = np.clip(np.floor(idx), 0, D - 1).astype(np.int32)
+    mfr = idx - m0
+    exact = bool(np.all(mfr == 0.0))
+    K = len(idx)
     z0 = wp[0]
     denom = z0 - c[d_axis]
     if abs(denom) < 1e-6 or (0.0 < c[d_axis] < 1.0):
         return None  # camera inside the slab (or on the reference plane)
     lam = (wp - c[d_axis]) / denom  # (K,), lam[0] == 1, increasing magnitude
-    dlam = float(lam[1] - lam[0]) if D > 1 else 1.0 / D / abs(denom)
+    dlam = float(lam[1] - lam[0]) if K > 1 else 1.0 / D / abs(denom)
 
     # Footprint on the z0 plane: union over planes of the preimage of [0,1].
     def preimage(c_a):
@@ -293,9 +307,13 @@ def plan_shearwarp(
         axes12=(a1_axis, a2_axis),
         n1=int(n1),
         n2=int(n2),
-        k=int(D),
+        k=int(K),
         swap_warp=swap_warp,
-        m_src=jnp.asarray(m_src, jnp.int32),
+        m_src=jnp.asarray(m0, jnp.int32),
+        msrc_hi=None if exact else jnp.asarray(
+            np.minimum(m0 + 1, D - 1), jnp.int32
+        ),
+        mfrac=None if exact else f32(mfr),
         lam=f32(lam),
         a1=f32(a1),
         b1=f32(b1),
@@ -318,6 +336,29 @@ def plan_shearwarp(
         p2row=f32(p2row),
         pdrow=f32(pdrow),
     )
+
+
+def _volume_planes(vol_t, plan):
+    """Front-to-back volume sample planes (K, D1, D2): exact slice takes,
+    or a two-slice lerp when the plan uses fractional `max_planes`
+    positions (mirrors the light volume's lm0/lmt sampling)."""
+    v0 = jnp.take(vol_t, plan.m_src, axis=0)
+    if plan.mfrac is None:
+        return v0
+    v1 = jnp.take(vol_t, plan.msrc_hi, axis=0)
+    t = plan.mfrac[:, None, None]
+    return v0 * (1.0 - t) + v1 * t
+
+
+def _plane_value_ranges(sl_mn, sl_mx, plan):
+    """Conservative per-plane (min, max) from per-slice stats — plane
+    values are convex combinations of (at most two) slices' texels."""
+    pmn = jnp.take(sl_mn, plan.m_src)
+    pmx = jnp.take(sl_mx, plan.m_src)
+    if plan.mfrac is not None:
+        pmn = jnp.minimum(pmn, jnp.take(sl_mn, plan.msrc_hi))
+        pmx = jnp.maximum(pmx, jnp.take(sl_mx, plan.msrc_hi))
+    return pmn, pmx
 
 
 def _resample_matrices(a, b, dim, n, dtype):
@@ -392,7 +433,7 @@ def shearwarp_intermediate(
         return jnp.concatenate([x, jnp.repeat(x[-1:], n - x.shape[0], 0)], 0) \
             if x.shape[0] < n else x
 
-    m_src = pad_to(plan.m_src, Kp)
+    vplanes_all = pad_to(_volume_planes(vol_t, plan), Kp)
     coeff = [pad_to(x, Kp) for x in (
         plan.a1, plan.b1, plan.a2, plan.b2,
         plan.la1, plan.lb1, plan.la2, plan.lb2, plan.lmt,
@@ -436,8 +477,7 @@ def shearwarp_intermediate(
         a1b, b1b, a2b, b2b, la1b, lb1b, la2b, lb2b, lmtb = (
             sl(x) for x in coeff
         )
-        msb = sl(m_src)
-        vblk = jnp.take(vol_t, msb, axis=0)  # (B, D1, D2)
+        vblk = sl(vplanes_all)  # (B, D1, D2)
         vals = _resample_block(
             vblk, a1b, b1b, a2b, b2b, n1, n2, compute_dtype
         )
@@ -522,8 +562,9 @@ def shearwarp_intermediate(
 
         sl_mn = jnp.min(vol_t, axis=(1, 2))  # (D,)
         sl_mx = jnp.max(vol_t, axis=(1, 2))
-        pl_mn = pad_to(jnp.take(sl_mn, plan.m_src), Kp).reshape(nblk, B)
-        pl_mx = pad_to(jnp.take(sl_mx, plan.m_src), Kp).reshape(nblk, B)
+        pmn, pmx = _plane_value_ranges(sl_mn, sl_mx, plan)
+        pl_mn = pad_to(pmn, Kp).reshape(nblk, B)
+        pl_mx = pad_to(pmx, Kp).reshape(nblk, B)
         blk_occ = windowed_tf_range_occupied(
             jnp.min(pl_mn, axis=1), jnp.max(pl_mx, axis=1),
             windowing_vec4, tf_table,

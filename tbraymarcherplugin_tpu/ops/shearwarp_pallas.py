@@ -41,6 +41,97 @@ def _ceil_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _pad_axis0(x, n, value=0.0):
+    return jnp.concatenate(
+        [x, jnp.full((n - x.shape[0],) + x.shape[1:], value, x.dtype)], 0
+    ) if x.shape[0] < n else x
+
+
+def _plane_param_array(plan, Kp):
+    """(5, Kp) per-plane coefficients for the kernels: a1,b1,a2,b2,lam.
+    Padding planes get out-of-range coords so the in-cube mask kills them."""
+    return jnp.stack([
+        _pad_axis0(plan.a1, Kp, value=-1e9),
+        _pad_axis0(plan.b1, Kp, value=0.0),
+        _pad_axis0(plan.a2, Kp, value=-1e9),
+        _pad_axis0(plan.b2, Kp, value=0.0),
+        _pad_axis0(plan.lam, Kp, value=0.0),
+    ])
+
+
+def _clip_step_fields(plan, clip_center, clip_direction):
+    """Per-intermediate-pixel step length and affine clip fields:
+    (step_world (n1, n2), e0 scalar, e1 (n1, n2))."""
+    n1, n2 = plan.n1, plan.n2
+    cc = jnp.asarray(clip_center, jnp.float32)
+    cdn = jnp.asarray(clip_direction, jnp.float32)
+    a1x, a2x, dx = plan.axes12[0], plan.axes12[1], plan.axis
+    ii = jnp.arange(n1, dtype=jnp.float32)
+    jj = jnp.arange(n2, dtype=jnp.float32)
+    g1 = plan.o1 + (ii + 0.5) * plan.d1
+    g2 = plan.o2 + (jj + 0.5) * plan.d2
+    c1, c2, cd_ = plan.cam[a1x], plan.cam[a2x], plan.cam[dx]
+    r = jnp.sqrt(
+        (g1[:, None] - c1) ** 2 + (g2[None, :] - c2) ** 2
+        + (plan.z0 - cd_) ** 2
+    )
+    step_world = VOLUME_DENSITY * r * plan.dlam
+    e0 = jnp.sum((plan.cam - cc) * cdn)
+    e1 = (
+        (g1[:, None] - c1) * cdn[a1x]
+        + (g2[None, :] - c2) * cdn[a2x]
+        + (plan.z0 - cd_) * cdn[dx]
+    )
+    return step_world, e0, e1
+
+
+def _geo_chunk_validity(plan, D1, D2, Kp, kb):
+    """(t1, t2, nch) bool: does tile (i, j) intersect the cube's preimage
+    anywhere inside chunk c? Pure geometry (no TF occupancy)."""
+    nch = Kp // kb
+    a1p = _pad_axis0(plan.a1, Kp, value=jnp.float32(-1e9))
+    b1p = _pad_axis0(plan.b1, Kp, value=jnp.float32(0.0))
+    a2p = _pad_axis0(plan.a2, Kp, value=jnp.float32(-1e9))
+    b2p = _pad_axis0(plan.b2, Kp, value=jnp.float32(0.0))
+    t1 = plan.n1 // 8
+    t2 = plan.n2 // 128
+    i_lo = (jnp.arange(t1, dtype=jnp.float32) * 8.0)[:, None]
+    i_hi = i_lo + 7.0
+    j_lo = (jnp.arange(t2, dtype=jnp.float32) * 128.0)[:, None]
+    j_hi = j_lo + 127.0
+
+    def axis_valid(ap, bp, lo, hi, dimf):
+        va = ap[None, :] + bp[None, :] * lo
+        vb = ap[None, :] + bp[None, :] * hi
+        vmin = jnp.minimum(va, vb)
+        vmax = jnp.maximum(va, vb)
+        return (vmax >= -0.5) & (vmin <= dimf - 0.5)  # (tiles, Kp)
+
+    v1ok = axis_valid(a1p, b1p, i_lo, i_hi, float(D1))
+    v2ok = axis_valid(a2p, b2p, j_lo, j_hi, float(D2))
+    kvalid = v1ok[:, None, :] & v2ok[None, :, :]  # (t1, t2, Kp)
+    return jnp.any(kvalid.reshape(t1, t2, nch, kb), axis=3)
+
+
+def _bounds_from_validity(cvalid):
+    """(t1, t2, nch) bool -> flattened per-tile (c_lo, c_hi) int32 pairs."""
+    nch = cvalid.shape[2]
+    anyv = jnp.any(cvalid, axis=2)
+    first = jnp.argmax(cvalid, axis=2)
+    last = nch - jnp.argmax(cvalid[:, :, ::-1], axis=2)
+    c_lo = jnp.where(anyv, first, 0).astype(jnp.int32)
+    c_hi = jnp.where(anyv, last, 0).astype(jnp.int32)
+    return jnp.stack([c_lo, c_hi], axis=-1).reshape(-1)
+
+
+def _scalar_row(windowing_vec4, e0, early_termination, D1, D2):
+    win = jnp.asarray(windowing_vec4, jnp.float32)
+    return jnp.stack([
+        win[0], win[1], win[2], win[3], jnp.asarray(e0, jnp.float32),
+        jnp.float32(early_termination), jnp.float32(D1), jnp.float32(D2),
+    ]).reshape(1, 8)
+
+
 def _composite_kernel(
     occ_ref,  # scalar-prefetch (nch,) int32: chunk occupancy flags
     bnd_ref,  # scalar-prefetch (n_tiles*2,) int32: per-tile chunk lo/hi
@@ -231,14 +322,8 @@ def shearwarp_intermediate_fused(
     vol_t = jnp.transpose(volume, ax)
     light_t = jnp.transpose(light_volume, ax)
 
-    def pad_to(x, n, value=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((n - x.shape[0],) + x.shape[1:], value, x.dtype)], 0
-        ) if x.shape[0] < n else x
-
     # ---- XLA stage: pre-shear every plane with batched banded matmuls ----
-    msrc = plan.m_src
-    vplanes = jnp.take(vol_t, msrc, axis=0)  # (K, D1, D2)
+    vplanes = SW._volume_planes(vol_t, plan)  # (K, D1, D2)
     l0 = jnp.take(light_t, plan.lm0, axis=0)
     l1 = jnp.take(light_t, jnp.minimum(plan.lm0 + 1, light_t.shape[0] - 1),
                   axis=0)
@@ -250,14 +335,14 @@ def shearwarp_intermediate_fused(
     L = SW._resample_block(
         lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2, n1, n2, compute_dtype
     ).astype(compute_dtype)
-    W = pad_to(W, Kp)
-    L = pad_to(L, Kp)
+    W = _pad_axis0(W, Kp)
+    L = _pad_axis0(L, Kp)
 
     # ---- chunk occupancy (ESS): interval query on per-chunk value range ---
     from .transfer import windowed_tf_range_occupied
 
-    sl_mn = pad_to(jnp.min(vplanes, axis=(1, 2)), Kp, value=jnp.inf)
-    sl_mx = pad_to(jnp.max(vplanes, axis=(1, 2)), Kp, value=-jnp.inf)
+    sl_mn = _pad_axis0(jnp.min(vplanes, axis=(1, 2)), Kp, value=jnp.inf)
+    sl_mx = _pad_axis0(jnp.max(vplanes, axis=(1, 2)), Kp, value=-jnp.inf)
     occ = windowed_tf_range_occupied(
         jnp.min(sl_mn.reshape(nch, KB), axis=1),
         jnp.max(sl_mx.reshape(nch, KB), axis=1),
@@ -266,77 +351,19 @@ def shearwarp_intermediate_fused(
 
     # ---- per-tile chunk bounds: a border tile only intersects the cube's
     # shrinking preimage for a k-interval; skip the rest of its loop ----
-    a1p = pad_to(plan.a1, Kp, value=jnp.float32(-1e9))
-    b1p = pad_to(plan.b1, Kp, value=jnp.float32(0.0))
-    a2p = pad_to(plan.a2, Kp, value=jnp.float32(-1e9))
-    b2p = pad_to(plan.b2, Kp, value=jnp.float32(0.0))
-    t1 = n1 // 8
-    t2 = n2 // 128
-    i_lo = (jnp.arange(t1, dtype=jnp.float32) * 8.0)[:, None]
-    i_hi = i_lo + 7.0
-    j_lo = (jnp.arange(t2, dtype=jnp.float32) * 128.0)[:, None]
-    j_hi = j_lo + 127.0
-
-    def axis_valid(ap, bp, lo, hi, dimf):
-        va = ap[None, :] + bp[None, :] * lo
-        vb = ap[None, :] + bp[None, :] * hi
-        vmin = jnp.minimum(va, vb)
-        vmax = jnp.maximum(va, vb)
-        return (vmax >= -0.5) & (vmin <= dimf - 0.5)  # (tiles, Kp)
-
     D1 = volume.shape[plan.axes12[0]]
     D2 = volume.shape[plan.axes12[1]]
-    v1ok = axis_valid(a1p, b1p, i_lo, i_hi, float(D1))
-    v2ok = axis_valid(a2p, b2p, j_lo, j_hi, float(D2))
-    kvalid = v1ok[:, None, :] & v2ok[None, :, :]  # (t1, t2, Kp)
-    cvalid = jnp.any(kvalid.reshape(t1, t2, nch, KB), axis=3)
+    cvalid = _geo_chunk_validity(plan, D1, D2, Kp, KB)
     cvalid = cvalid & (occ[None, None, :] != 0)
-    anyv = jnp.any(cvalid, axis=2)
-    first = jnp.argmax(cvalid, axis=2)
-    last = nch - jnp.argmax(cvalid[:, :, ::-1], axis=2)
-    c_lo = jnp.where(anyv, first, 0).astype(jnp.int32)
-    c_hi = jnp.where(anyv, last, 0).astype(jnp.int32)
     if debug_no_skip:
         occ = jnp.ones_like(occ)
-        c_lo = jnp.zeros_like(c_lo)
-        c_hi = jnp.full_like(c_hi, nch)
-    bounds = jnp.stack([c_lo, c_hi], axis=-1).reshape(-1)
+        cvalid = jnp.ones_like(cvalid)
+    bounds = _bounds_from_validity(cvalid)
 
     # ---- scalar/param packing ----
-    cc = jnp.asarray(clip_center, jnp.float32)
-    cdn = jnp.asarray(clip_direction, jnp.float32)
-    a1x, a2x, dx = plan.axes12[0], plan.axes12[1], plan.axis
-    ii = jnp.arange(n1, dtype=jnp.float32)
-    jj = jnp.arange(n2, dtype=jnp.float32)
-    g1 = plan.o1 + (ii + 0.5) * plan.d1
-    g2 = plan.o2 + (jj + 0.5) * plan.d2
-    c1, c2, cd_ = plan.cam[a1x], plan.cam[a2x], plan.cam[dx]
-    r = jnp.sqrt(
-        (g1[:, None] - c1) ** 2 + (g2[None, :] - c2) ** 2
-        + (plan.z0 - cd_) ** 2
-    )
-    step_world = VOLUME_DENSITY * r * plan.dlam  # (n1, n2)
-    e0 = jnp.sum((plan.cam - cc) * cdn)
-    e1 = (
-        (g1[:, None] - c1) * cdn[a1x]
-        + (g2[None, :] - c2) * cdn[a2x]
-        + (plan.z0 - cd_) * cdn[dx]
-    )
-    win = jnp.asarray(windowing_vec4, jnp.float32)
-    D1 = volume.shape[a1x]
-    D2 = volume.shape[a2x]
-    sc = jnp.stack([
-        win[0], win[1], win[2], win[3], e0,
-        jnp.float32(early_termination), jnp.float32(D1), jnp.float32(D2),
-    ]).reshape(1, 8)
-    # padded planes: out-of-range coords so the in-cube mask kills them
-    pa = jnp.stack([
-        pad_to(plan.a1, Kp, value=-1e9),
-        pad_to(plan.b1, Kp, value=0.0),
-        pad_to(plan.a2, Kp, value=-1e9),
-        pad_to(plan.b2, Kp, value=0.0),
-        pad_to(plan.lam, Kp, value=0.0),
-    ])  # (5, Kp)
+    step_world, e0, e1 = _clip_step_fields(plan, clip_center, clip_direction)
+    sc = _scalar_row(windowing_vec4, e0, early_termination, D1, D2)
+    pa = _plane_param_array(plan, Kp)
     tfp = _pack_tf(tf_table)
 
     kernel = partial(

@@ -390,11 +390,13 @@ class Renderer:
             np.asarray(self.transform.translation).tobytes(),
             np.asarray(self.transform.scale).tobytes(),
             width, height, self.volume.shape, self.light_volume.shape,
+            self.config.step_count,
         )
         if getattr(self, "_sw_key", None) != key:
             self._sw_plan = SW.plan_shearwarp(
                 camera, self.transform, self.volume.shape,
                 self.light_volume.shape, width, height,
+                max_planes=self.config.step_count,
             )
             self._sw_key = key
             # Banded-warp contract guard: out-of-band indices would clamp

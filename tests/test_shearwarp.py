@@ -322,3 +322,58 @@ def test_axis_aligned_cameras(axis, sign):
         vol, tf, lv, plan, win, clip.center, clip.direction
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_max_planes_matches_reference():
+    """`max_planes` (the step_count quality knob): fractional plane
+    positions must still match the plane-by-plane trilinear oracle, and
+    the fused kernels must agree with the scan path."""
+    vol, lv, tf, cam, tr, win = _scene()
+    clip = ClipPlane.disabled()
+    plan = _plan(cam, tr, max_n=128, max_planes=20)
+    assert plan.k == 20 and plan.mfrac is not None
+    got = np.asarray(SW.shearwarp_intermediate(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    ))
+    want = SW.shearwarp_reference(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    from tbraymarcherplugin_tpu.ops.shearwarp_pallas import (
+        shearwarp_intermediate_fused,
+    )
+    fused = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(fused, got, rtol=1e-5, atol=1e-6)
+
+
+def test_max_planes_fused_diff_grads(rng):
+    """The differentiable fused path handles fractional plane selection
+    (gradients flow through both slices' one-hot weights)."""
+    from tbraymarcherplugin_tpu.ops.shearwarp_grad import (
+        shearwarp_intermediate_fused_diff,
+    )
+
+    vol, lv, tf, cam, tr, win = _scene()
+    clip = ClipPlane.disabled()
+    plan = _plan(cam, tr, max_n=128, max_planes=20)
+    g = jnp.asarray(rng.random((plan.n1, plan.n2, 4), dtype=np.float32))
+
+    def lf(v):
+        return jnp.sum(shearwarp_intermediate_fused_diff(
+            v, tf, lv, plan, win, clip.center, clip.direction,
+            interpret=True,
+        ) * g)
+
+    def ld(v):
+        return jnp.sum(SW.shearwarp_intermediate(
+            v, tf, lv, plan, win, clip.center, clip.direction,
+        ) * g)
+
+    gf = np.asarray(jax.grad(lf)(vol))
+    gd = np.asarray(jax.grad(ld)(vol))
+    scale = max(np.abs(gd).max(), 1e-3)
+    np.testing.assert_allclose(gf, gd, rtol=2e-4, atol=2e-5 * scale)
