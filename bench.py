@@ -260,7 +260,9 @@ def main() -> int:
             f"illumination ms/rebuild {dims[0]}^3",
             round(float(np.median(itimes)) * 1e3, 3),
             "ms",
-            1.0,
+            # No external baseline exists (the reference publishes no
+            # illumination timings) — emit null rather than claiming parity.
+            None,
         )
     except Exception as e:  # noqa: BLE001 — auxiliary metric, stay alive
         _detail(detail="illumination bench failed",
@@ -272,7 +274,7 @@ def main() -> int:
             _bench_fwd_bwd(
                 jax, jnp, np, render_lit_scene, params, with_center, rays,
                 clip, plans, sw_plan, dims, width, height, step_count, frames,
-                timed_loop,
+                timed_loop, fwd_ms=dt * 1e3,
             )
         except Exception as e:  # noqa: BLE001
             _emit(
@@ -293,7 +295,7 @@ def main() -> int:
 
 def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
                    clip, plans, sw_plan, dims, width, height, step_count,
-                   frames, timed_loop):
+                   frames, timed_loop, fwd_ms=None):
     """BASELINE headline #2: fwd+bwd ms/frame — value_and_grad of an L2 loss
     against a fixed target image, grads w.r.t. the full differentiable
     surface (volume, TF table, window center/width, light intensities).
@@ -357,7 +359,10 @@ def _bench_fwd_bwd(jax, jnp, np, render_lit_scene, params, with_center, rays,
         f"fwd+bwd ms/frame {dims[0]}^3 {width}x{height} {step_count}st",
         round(dt_ms, 3),
         "ms",
-        1.0,  # no external baseline exists; recorded for trend tracking
+        # Internal target (no external baseline exists): a differentiated
+        # frame should cost <= 3x the forward frame. vs_baseline >= 1 means
+        # the target is met; the gap is visible machine-readably either way.
+        None if fwd_ms is None else (3.0 * fwd_ms) / dt_ms,
     )
     print(json.dumps({
         "detail": "fwd+bwd frame times (s)", "impl": impl,

@@ -247,6 +247,8 @@ def render_lit_scene(
             # through the transposed resample matmuls.
             from ..ops.shearwarp_grad import shearwarp_intermediate_fused_diff
 
+            from ..ops.pallas_warp import warp_to_screen_fused
+
             inter = shearwarp_intermediate_fused_diff(
                 march_volume,
                 march_tf,
@@ -258,6 +260,10 @@ def render_lit_scene(
                 early_termination=early_termination,
                 compute_dtype=shearwarp_dtype,
             )
+            # banded warp with its custom scatter adjoint — the XLA warp's
+            # take_along_axis backward (sort-based scatter) measured ~870 ms
+            # of the 1.4 s fwd+bwd frame at 256^3/1080p
+            return warp_to_screen_fused(inter, shearwarp_plan, w, h)
         else:
             inter = SWM.shearwarp_intermediate(
                 march_volume,

@@ -69,9 +69,110 @@ def _band_kernel(idx_ref, rows_hbm, out_ref, band, sem, *, n_src):
     out_ref[:] = tap(0) * (1.0 - fr) + tap(1) * fr
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _band_adjoint_kernel(idx_ref, g_ref, out_ref, *, n_src, np128):
+    """Adjoint of the banded gather: scatter each (8, 128) cotangent tile
+    into its band as 8 one-hot (BAND, 128) @ (128, 1) MXU products, texels
+    along sublanes so the accumulation lands without relayout. The output
+    block (Np, 8) is revisited across the q grid dimension (zeroed at
+    q == 0); band starts are 128-aligned, so the dynamic sublane offset
+    stays tile-aligned."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[:]
+    g = g_ref[:]
+    start = jnp.clip(
+        jnp.floor(jnp.min(idx)).astype(jnp.int32), 0, max(n_src - BAND, 0)
+    )
+    start = pl.multiple_of((start // 128) * 128, 128)
+    local = jnp.clip(idx - start.astype(jnp.float32), 0.0, float(BAND - 1))
+    l0 = jnp.clip(jnp.floor(local), 0.0, float(BAND - 2))
+    fr = jnp.clip(local - l0, 0.0, 1.0)
+    l0i = l0.astype(jnp.int32)
+
+    tex = jax.lax.broadcasted_iota(jnp.int32, (BAND, 128), 0)
+    for r in range(8):
+        l0r = jnp.broadcast_to(l0i[r:r + 1, :], (BAND, 128))
+        frr = jnp.broadcast_to(fr[r:r + 1, :], (BAND, 128))
+        A = jnp.where(tex == l0r, 1.0 - frr, 0.0) + jnp.where(
+            tex == l0r + 1, frr, 0.0
+        )
+        gw = jnp.reshape(g[r:r + 1, :], (128, 1))
+        contrib = jax.lax.dot_general(
+            A, gw, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BAND, 1)
+        out_ref[0, pl.ds(start, BAND), r:r + 1] = (
+            out_ref[0, pl.ds(start, BAND), r:r + 1] + contrib
+        )
+
+
+def _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret):
+    """d_rows (Rp, Np) for padded inputs (see banded_row_lerp's padding)."""
+    out = pl.pallas_call(
+        partial(_band_adjoint_kernel, n_src=Np, np128=Np // 128),
+        out_shape=jax.ShapeDtypeStruct((Rp // 8, Np, 8), jnp.float32),
+        grid=(Rp // 8, Qp // 128),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, 8), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(idx_p, g_p)
+    return jnp.transpose(out, (0, 2, 1)).reshape(Rp, Np)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def banded_row_lerp(rows: jnp.ndarray, idx: jnp.ndarray,
                     interpret: bool | None = None) -> jnp.ndarray:
+    return _banded_row_lerp_fwd_impl(rows, idx, interpret)
+
+
+def _banded_row_lerp_vjp_fwd(rows, idx, interpret):
+    # rows itself is not needed for the adjoint — save a 0-row probe that
+    # carries N and the dtype statically through the residuals.
+    return _banded_row_lerp_fwd_impl(rows, idx, interpret), (
+        idx, rows[:0],
+    )
+
+
+def _banded_row_lerp_vjp_bwd(interpret, res, g):
+    """d_rows via the banded scatter kernel; idx is warp-plan geometry and
+    carries no gradient (returns zeros — the callers never differentiate
+    camera/homography parameters through the warp)."""
+    idx, rows_probe = res
+    N = int(rows_probe.shape[-1])
+    rows_dtype = rows_probe.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, Q = (int(d) for d in idx.shape)
+    Rp, Qp, Np = _ceil_to(R, 8), _ceil_to(Q, 128), max(_ceil_to(N, 128), BAND)
+    idx_p = jnp.pad(
+        jnp.clip(idx, 0.0, float(N - 1)), ((0, Rp - R), (0, Qp - Q)),
+        mode="edge",
+    )
+    # padded q columns correspond to sliced-off outputs: zero cotangent
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, Rp - R), (0, Qp - Q)))
+    d_rows = _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret)
+    # fold the edge-padding of rows back: padded source texels [N, Np) were
+    # edge copies read only via the band clamp; real reads never exceed
+    # N - 1, so the pad region's cotangent is zero by construction.
+    return d_rows[:R, :N].astype(rows_dtype), jnp.zeros_like(idx)
+
+
+banded_row_lerp.defvjp(_banded_row_lerp_vjp_fwd, _banded_row_lerp_vjp_bwd)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _banded_row_lerp_fwd_impl(rows: jnp.ndarray, idx: jnp.ndarray,
+                              interpret: bool | None = None) -> jnp.ndarray:
     """out[r, q] = lerp(rows[r], idx[r, q]) with clamp-to-edge — the Pallas
     fast path for per-row monotone-band index arrays (see module docstring;
     exactness oracle: `shearwarp._lerp_take`)."""

@@ -156,3 +156,30 @@ def test_shearwarp_mode_close_to_blocked_march():
     plan1 = r._sw_plan
     r.render(cam, 48, 48)
     assert r._sw_plan is plan1
+
+
+def test_shearwarp_fallback_mid_orbit():
+    """march_impl='shearwarp' no longer raises when the camera enters the
+    dominant slab — it degrades to the march for that frame and recovers
+    the fast path when the camera leaves (VERDICT r3 weak #4)."""
+    r = make_renderer(march_impl="shearwarp", empty_space_skipping=False)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    outside = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0],
+                             fov_degrees=30.0)
+    img = np.asarray(r.render(outside, 16, 16))
+    assert np.isfinite(img).all()
+    assert r._sw_plan is not None  # fast path taken
+
+    # camera inside the dominant slab: plan unavailable -> march fallback
+    inside = Camera.look_at([0.5, -0.35, 0.52], [0.5, 0.5, 0.5],
+                            fov_degrees=60.0)
+    # look_at target offset so the dominant axis coordinate sits in (0, 1)
+    inside = Camera.look_at([0.3, 0.45, 0.35], [0.31, 0.5, 0.37],
+                            fov_degrees=60.0)
+    img2 = np.asarray(r.render(inside, 16, 16))
+    assert np.isfinite(img2).all()
+    assert r._sw_plan is None  # fell back, no raise
+
+    img3 = np.asarray(r.render(outside, 16, 16))
+    assert r._sw_plan is not None  # fast path recovered
+    assert np.isfinite(img3).all()

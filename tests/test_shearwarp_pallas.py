@@ -119,6 +119,46 @@ def test_warp_fused_matches_warp_to_screen(rng):
     assert got.max() > 0.05
 
 
+def test_banded_row_lerp_vjp_matches_lerp_take(rng):
+    """The banded scatter adjoint kernel vs XLA autodiff of _lerp_take."""
+    import jax
+
+    from tbraymarcherplugin_tpu.ops.pallas_warp import banded_row_lerp
+    from tbraymarcherplugin_tpu.ops.shearwarp import _lerp_take
+
+    rows = jnp.asarray(rng.random((20, 300), dtype=np.float32))
+    base = np.linspace(-5, 310, 260)[None, :]
+    wob = rng.random((20, 260), dtype=np.float32) * 3.0
+    idx = jnp.asarray((base + wob).astype(np.float32))
+    g = jnp.asarray(rng.random((20, 260), dtype=np.float32))
+
+    gp = jax.grad(
+        lambda r: jnp.sum(banded_row_lerp(r, idx, True) * g)
+    )(rows)
+    gx = jax.grad(lambda r: jnp.sum(_lerp_take(r, idx) * g))(rows)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_warp_fused_vjp_matches_xla_warp(rng):
+    """End-to-end warp gradient: fused (banded adjoint) vs XLA warp."""
+    import jax
+
+    _, _, _, plan, _ = _scene()
+    from tbraymarcherplugin_tpu.ops.pallas_warp import warp_to_screen_fused
+
+    inter = jnp.asarray(rng.random((plan.n1, plan.n2, 4), dtype=np.float32))
+    g = jnp.asarray(rng.random((H, W, 4), dtype=np.float32))
+    gp = jax.grad(
+        lambda x: jnp.sum(warp_to_screen_fused(x, plan, W, H, True) * g)
+    )(inter)
+    gx = jax.grad(
+        lambda x: jnp.sum(SW.warp_to_screen(x, plan, W, H) * g)
+    )(inter)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_warp_fused_non_multiple_of_8_sizes(rng):
     """Regression (ADVICE r3): when W (or H under swap_warp) % 8 != 0 an
     8-row kernel tile used to straddle the channel boundary and mix rows
