@@ -338,13 +338,18 @@ def plan_shearwarp(
     )
 
 
-def _volume_planes(vol_t, plan):
+def _volume_planes(vol_t, plan, nearest=False):
     """Front-to-back volume sample planes (K, D1, D2): exact slice takes,
     or a two-slice lerp when the plan uses fractional `max_planes`
-    positions (mirrors the light volume's lm0/lmt sampling)."""
-    v0 = jnp.take(vol_t, plan.m_src, axis=0)
+    positions (mirrors the light volume's lm0/lmt sampling).
+    ``nearest`` rounds to the closest slice instead (octree mode's
+    `Texture3D.Load` semantics)."""
     if plan.mfrac is None:
-        return v0
+        return jnp.take(vol_t, plan.m_src, axis=0)
+    if nearest:
+        sel = jnp.where(plan.mfrac < 0.5, plan.m_src, plan.msrc_hi)
+        return jnp.take(vol_t, sel, axis=0)
+    v0 = jnp.take(vol_t, plan.m_src, axis=0)
     v1 = jnp.take(vol_t, plan.msrc_hi, axis=0)
     t = plan.mfrac[:, None, None]
     return v0 * (1.0 - t) + v1 * t
@@ -361,23 +366,30 @@ def _plane_value_ranges(sl_mn, sl_mx, plan):
     return pmn, pmx
 
 
-def _resample_matrices(a, b, dim, n, dtype):
+def _resample_matrices(a, b, dim, n, dtype, nearest=False):
     """Banded linear-interpolation matrices S (B, dim, n):
-    S[p, m, i] = hat(clip(a[p] + b[p] * i, 0, dim-1) - m)."""
+    S[p, m, i] = hat(clip(a[p] + b[p] * i, 0, dim-1) - m); with ``nearest``
+    a one-hot selection of floor(v + 0.5) (`Texture3D.Load` truncation in
+    texel units, octree mode)."""
     i = jnp.arange(n, dtype=jnp.float32)
     v = a[:, None] + b[:, None] * i[None, :]  # (B, n)
     vc = jnp.clip(v, 0.0, float(dim - 1))
     m = jnp.arange(dim, dtype=jnp.float32)
-    S = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, None, :] - m[None, :, None]))
+    if nearest:
+        sel = jnp.floor(vc + 0.5)
+        S = (sel[:, None, :] == m[None, :, None]).astype(jnp.float32)
+    else:
+        S = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, None, :] - m[None, :, None]))
     return S.astype(dtype)
 
 
-def _resample_block(slices, a1, b1, a2, b2, n1, n2, dtype):
+def _resample_block(slices, a1, b1, a2, b2, n1, n2, dtype, nearest=False):
     """(B, D1, D2) slices -> (B, n1, n2) sheared samples via two batched
-    banded matmuls (runs on the MXU; exactly separable bilinear)."""
+    banded matmuls (runs on the MXU; exactly separable bilinear — or
+    one-hot nearest selection for octree mode)."""
     B, D1, D2 = slices.shape
-    S1 = _resample_matrices(a1, b1, D1, n1, dtype)  # (B, D1, n1)
-    S2 = _resample_matrices(a2, b2, D2, n2, dtype)  # (B, D2, n2)
+    S1 = _resample_matrices(a1, b1, D1, n1, dtype, nearest)  # (B, D1, n1)
+    S2 = _resample_matrices(a2, b2, D2, n2, dtype, nearest)  # (B, D2, n2)
     t = jnp.einsum(
         "bdn,bde->bne", S1, slices.astype(dtype),
         preferred_element_type=jnp.float32,
@@ -733,6 +745,65 @@ def shearwarp_lit(
     return warp_to_screen(inter, plan, width, height)
 
 
+def depth_to_lambda_max(plan: ShearWarpPlan, scene_depth, width: int,
+                        height: int) -> jnp.ndarray:
+    """(n1, n2) per-intermediate-pixel λ ceiling from an (H, W) scene-depth
+    map (distances along the normalized local ray — the units
+    `rays.setup_rays`'s ``scene_depth`` uses; `rays.scene_depth_from_plane`
+    is a producer). The sample at plane k sits at camera distance r·λ_k,
+    so the fused composite masks planes with λ > depth/r — the shear-warp
+    form of the reference's depth-buffer clamp
+    (`RaymarchMaterialCommon.usf:26-44`).
+
+    The grid→screen map is the inverse homography (closed form): solve the
+    2x2 linear system (p_row − g·pd_row)·(u, v, 1) = 0 per grid point,
+    then bilinearly sample the depth map.
+    """
+    depth = jnp.asarray(scene_depth, jnp.float32)
+    ii = jnp.arange(plan.n1, dtype=jnp.float32)
+    jj = jnp.arange(plan.n2, dtype=jnp.float32)
+    g1 = plan.o1 + (ii + 0.5) * plan.d1  # (n1,)
+    g2 = plan.o2 + (jj + 0.5) * plan.d2  # (n2,)
+    p1r, p2r, pdr = plan.p1row, plan.p2row, plan.pdrow
+    a11 = (p1r[0] - g1 * pdr[0])[:, None]
+    a12 = (p1r[1] - g1 * pdr[1])[:, None]
+    b1 = -(p1r[2] - g1 * pdr[2])[:, None]
+    a21 = (p2r[0] - g2 * pdr[0])[None, :]
+    a22 = (p2r[1] - g2 * pdr[1])[None, :]
+    b2 = -(p2r[2] - g2 * pdr[2])[None, :]
+    det = a11 * a22 - a12 * a21
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    u = (b1 * a22 - a12 * b2) / det  # (n1, n2) screen column
+    v = (a11 * b2 - b1 * a21) / det  # (n1, n2) screen row
+
+    uc = jnp.clip(u, 0.0, width - 1.0)
+    vc = jnp.clip(v, 0.0, height - 1.0)
+    u0 = jnp.floor(uc)
+    v0 = jnp.floor(vc)
+    fu = uc - u0
+    fv = vc - v0
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, width - 1)
+    v1 = jnp.minimum(v0 + 1, height - 1)
+    flat = depth.reshape(-1)
+
+    def at(vi, ui):
+        return jnp.take(flat, vi * width + ui)
+
+    d = (
+        at(v0, u0) * (1 - fu) * (1 - fv) + at(v0, u1) * fu * (1 - fv)
+        + at(v1, u0) * (1 - fu) * fv + at(v1, u1) * fu * fv
+    )
+
+    c1, c2, cd = (plan.cam[a] for a in (*plan.axes12, plan.axis))
+    r = jnp.sqrt(
+        (g1[:, None] - c1) ** 2 + (g2[None, :] - c2) ** 2
+        + (plan.z0 - cd) ** 2
+    )
+    return jnp.where(jnp.isfinite(d), d / r, jnp.inf)
+
+
 # ---------------------------------------------------------------------------
 # Oracle: direct (gather-based) implementation of the same algorithm.
 # ---------------------------------------------------------------------------
@@ -806,6 +877,111 @@ def shearwarp_reference(
         alpha = np.where(hit, 1.0, alpha_new)
         terminated |= hit
     return np.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def shearwarp_jittered_oracle(
+    volume,
+    tf_table,
+    light_volume,
+    plan: ShearWarpPlan,
+    windowing_vec4,
+    clip_center,
+    clip_direction,
+    jitter=None,
+    depth_lam=None,
+    early_termination: float = EARLY_TERMINATION_ALPHA,
+    mode: str = "lit",
+    sample_nearest: bool = False,
+):
+    """Dense mirror of the fused kernel's jitter/scene-depth/mode semantics.
+
+    Jittered shear-warp is *defined* as the per-pixel λ-lerp of adjacent
+    pre-sheared planes (value, light, in-plane coords and λ are all affine
+    in λ); this oracle evaluates that definition directly with plain jnp
+    ops, plane by plane, for equality tests against
+    `shearwarp_pallas.shearwarp_intermediate_fused(jitter=..., depth_lam=...)`.
+    """
+    from .shearwarp_pallas import _clip_step_fields
+
+    n1, n2, K = plan.n1, plan.n2, plan.k
+    ax = (plan.axis,) + plan.axes12
+    vol_t = jnp.transpose(volume, ax)
+    vplanes = _volume_planes(vol_t, plan, nearest=sample_nearest)
+    W = _resample_block(vplanes, plan.a1, plan.b1, plan.a2, plan.b2,
+                        n1, n2, jnp.float32, nearest=sample_nearest)
+    W = jnp.concatenate([W, W[-1:]], 0)
+    if mode == "lit":
+        light_t = jnp.transpose(light_volume, ax)
+        l0 = jnp.take(light_t, plan.lm0, axis=0)
+        l1 = jnp.take(
+            light_t, jnp.minimum(plan.lm0 + 1, light_t.shape[0] - 1), axis=0
+        )
+        lplanes = (l0 * (1.0 - plan.lmt[:, None, None])
+                   + l1 * plan.lmt[:, None, None])
+        L = _resample_block(lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2,
+                            n1, n2, jnp.float32)
+        L = jnp.concatenate([L, L[-1:]], 0)
+    else:
+        L = jnp.ones_like(W)
+
+    def ext(x):
+        return jnp.concatenate(
+            [x, 2.0 * x[-1:] - x[-2:-1] if x.shape[0] >= 2 else x[-1:]]
+        )
+
+    a1, b1, a2, b2, lam = (
+        ext(x) for x in (plan.a1, plan.b1, plan.a2, plan.b2, plan.lam)
+    )
+    step_world, e0, e1 = _clip_step_fields(plan, clip_center, clip_direction)
+    delta = (jnp.zeros((n1, n2), jnp.float32) if jitter is None
+             else jnp.asarray(jitter, jnp.float32))
+    lmax = (jnp.full((n1, n2), jnp.inf) if depth_lam is None
+            else jnp.asarray(depth_lam, jnp.float32))
+    ii = jnp.arange(n1, dtype=jnp.float32)[:, None]
+    jj = jnp.arange(n2, dtype=jnp.float32)[None, :]
+    D1 = volume.shape[plan.axes12[0]]
+    D2 = volume.shape[plan.axes12[1]]
+
+    rgb = jnp.zeros((n1, n2, 3))
+    alpha = jnp.zeros((n1, n2))
+    term = jnp.zeros((n1, n2), bool)
+    for k in range(K):
+        v1k = a1[k] + b1[k] * ii
+        v1n = a1[k + 1] + b1[k + 1] * ii
+        v2k = a2[k] + b2[k] * jj
+        v2n = a2[k + 1] + b2[k + 1] * jj
+        v1 = v1k + delta * (v1n - v1k)
+        v2 = v2k + delta * (v2n - v2k)
+        lam_px = lam[k] + delta * (lam[k + 1] - lam[k])
+        m = (
+            (v1 >= -0.5) & (v1 <= D1 - 0.5)
+            & (v2 >= -0.5) & (v2 <= D2 - 0.5)
+            & ((e0 + lam_px * e1) > 0.0)
+            & (lam_px <= lmax)
+            & ~term
+        )
+        value = W[k] + delta * (W[k + 1] - W[k])
+        if mode == "intensity":
+            win = jnp.asarray(windowing_vec4, jnp.float32)
+            tf_pos = (value - win[0] + win[1] * 0.5) / win[1]
+            val = jnp.clip(tf_pos, 0.0, 1.0)
+            rgb = jnp.where(m[..., None], val[..., None], rgb)
+            alpha = jnp.where(m, 1.0, alpha)
+            term = term | m
+            continue
+        light = L[k] + delta * (L[k + 1] - L[k])
+        rgba = sample_windowed_transfer_function(
+            value, step_world, tf_table, jnp.asarray(windowing_vec4,
+                                                     jnp.float32)
+        )
+        a = jnp.where(m, rgba[..., 3], 0.0)
+        w = (1.0 - alpha) * a
+        rgb = rgb + w[..., None] * rgba[..., :3] * light[..., None]
+        alpha_new = alpha + w
+        crossed = (a > 0.0) & (alpha_new > early_termination)
+        alpha = jnp.where(crossed, 1.0, alpha_new)
+        term = term | crossed
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
 def warp_reference(intermediate, plan: ShearWarpPlan, width, height):

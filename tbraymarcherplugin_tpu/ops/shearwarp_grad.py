@@ -437,6 +437,8 @@ def _fwd_impl(cfg, W, L, tf_table, windowing_vec4, step_world, e1, e0, pa,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j, occ, bnd: (i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8, 128), lambda i, j, occ, bnd: (0, i, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -451,12 +453,14 @@ def _fwd_impl(cfg, W, L, tf_table, windowing_vec4, step_world, e1, e0, pa,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    jd = jnp.zeros((2, n1, n2), jnp.float32)  # no jitter/depth in the
+    # differentiable path (plan geometry; forward-only features)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, n1, n2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(occ, bounds_fwd, sc, pa, tfp, e1, step_world, W, L)
+    )(occ, bounds_fwd, sc, pa, tfp, e1, step_world, jd, W, L)
     return jnp.transpose(out, (1, 2, 0))
 
 

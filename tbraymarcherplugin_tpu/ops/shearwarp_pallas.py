@@ -47,16 +47,21 @@ def _pad_axis0(x, n, value=0.0):
     ) if x.shape[0] < n else x
 
 
-def _plane_param_array(plan, Kp):
-    """(5, Kp) per-plane coefficients for the kernels: a1,b1,a2,b2,lam.
-    Padding planes get out-of-range coords so the in-cube mask kills them."""
-    return jnp.stack([
-        _pad_axis0(plan.a1, Kp, value=-1e9),
-        _pad_axis0(plan.b1, Kp, value=0.0),
-        _pad_axis0(plan.a2, Kp, value=-1e9),
-        _pad_axis0(plan.b2, Kp, value=0.0),
-        _pad_axis0(plan.lam, Kp, value=0.0),
-    ])
+def _plane_param_array(plan, Kp, extend=False):
+    """(5, Kp[+1]) per-plane coefficients for the kernels: a1,b1,a2,b2,lam.
+    Padding planes get out-of-range coords so the in-cube mask kills them.
+    ``extend`` appends one affinely-extrapolated plane (all coefficients
+    are affine in λ) for the jitter path's k+1 reads at the last plane."""
+    rows = []
+    for x, pv in (
+        (plan.a1, -1e9), (plan.b1, 0.0), (plan.a2, -1e9), (plan.b2, 0.0),
+        (plan.lam, 0.0),
+    ):
+        if extend:
+            ex = 2.0 * x[-1:] - x[-2:-1] if x.shape[0] >= 2 else x[-1:]
+            x = jnp.concatenate([x, ex])
+        rows.append(_pad_axis0(x, Kp + (1 if extend else 0), value=pv))
+    return jnp.stack(rows)
 
 
 def _clip_step_fields(plan, clip_center, clip_direction):
@@ -85,9 +90,11 @@ def _clip_step_fields(plan, clip_center, clip_direction):
     return step_world, e0, e1
 
 
-def _geo_chunk_validity(plan, D1, D2, Kp, kb):
+def _geo_chunk_validity(plan, D1, D2, Kp, kb, jitter=False):
     """(t1, t2, nch) bool: does tile (i, j) intersect the cube's preimage
-    anywhere inside chunk c? Pure geometry (no TF occupancy)."""
+    anywhere inside chunk c? Pure geometry (no TF occupancy). With
+    ``jitter`` each plane's validity is unioned with its successor (the
+    jittered sample can sit anywhere between the two)."""
     nch = Kp // kb
     a1p = _pad_axis0(plan.a1, Kp, value=jnp.float32(-1e9))
     b1p = _pad_axis0(plan.b1, Kp, value=jnp.float32(0.0))
@@ -110,6 +117,10 @@ def _geo_chunk_validity(plan, D1, D2, Kp, kb):
     v1ok = axis_valid(a1p, b1p, i_lo, i_hi, float(D1))
     v2ok = axis_valid(a2p, b2p, j_lo, j_hi, float(D2))
     kvalid = v1ok[:, None, :] & v2ok[None, :, :]  # (t1, t2, Kp)
+    if jitter:
+        kvalid = kvalid | jnp.concatenate(
+            [kvalid[:, :, 1:], kvalid[:, :, -1:]], axis=2
+        )
     return jnp.any(kvalid.reshape(t1, t2, nch, kb), axis=3)
 
 
@@ -136,14 +147,15 @@ def _composite_kernel(
     occ_ref,  # scalar-prefetch (nch,) int32: chunk occupancy flags
     bnd_ref,  # scalar-prefetch (n_tiles*2,) int32: per-tile chunk lo/hi
     sc_ref,  # SMEM (1, 8): center,width,lowc,highc,e0,ET,D1,D2
-    pa_ref,  # SMEM (5, Kp): a1,b1,a2,b2,lam
+    pa_ref,  # SMEM (5, Kp[+1]): a1,b1,a2,b2,lam
     tf_ref,  # VMEM (8, 128) packed TF
     e1_ref,  # VMEM (8, 128) tile of the clip-plane field
     sw_ref,  # VMEM (8, 128) tile of step_world
-    w_hbm,  # ANY (Kp, n1, n2)
-    l_hbm,  # ANY (Kp, n1, n2)
+    jd_ref,  # VMEM (2, 8, 128) tile: [0] jitter delta, [1] lambda_max
+    w_hbm,  # ANY (Kp[+1], n1, n2)
+    l_hbm,  # ANY (Kp[+1], n1, n2)
     out_ref,  # VMEM (4, 8, 128) tile output
-    wbuf,  # VMEM (2, KB, 8, 128) compute dtype
+    wbuf,  # VMEM (2, KB[+1], 8, 128) compute dtype
     lbuf,
     wsem,
     lsem,
@@ -151,6 +163,9 @@ def _composite_kernel(
     n_chunks,
     k_real,
     early_termination,
+    jitter_on=False,
+    depth_on=False,
+    mode="lit",
 ):
     i0 = pl.program_id(0) * 8
     j0 = pl.program_id(1) * 128
@@ -172,21 +187,26 @@ def _composite_kernel(
     e1 = e1_ref[:]
     sw = sw_ref[:]
     tfp = tf_ref[:]
+    delta = jd_ref[0] if jitter_on else None
+    lmax = jd_ref[1] if depth_on else None
+    CB = KB + 1 if jitter_on else KB  # jitter lerps plane k with k+1
 
     def copy(buf, hbm, sem, c, slot):
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(c * KB, KB), pl.ds(i0, 8), pl.ds(j0, 128)],
+            hbm.at[pl.ds(c * KB, CB), pl.ds(i0, 8), pl.ds(j0, 128)],
             buf.at[slot],
             sem.at[slot],
         )
 
     def issue(c, slot):
         copy(wbuf, w_hbm, wsem, c, slot).start()
-        copy(lbuf, l_hbm, lsem, c, slot).start()
+        if mode == "lit":  # unlit/intensity never read the light stream
+            copy(lbuf, l_hbm, lsem, c, slot).start()
 
     def wait(c, slot):
         copy(wbuf, w_hbm, wsem, c, slot).wait()
-        copy(lbuf, l_hbm, lsem, c, slot).wait()
+        if mode == "lit":
+            copy(lbuf, l_hbm, lsem, c, slot).wait()
 
     @pl.when(c_lo < c_hi)
     def _():
@@ -216,16 +236,50 @@ def _composite_kernel(
                 lamk = pa_ref[4, k]
                 v1 = a1k + b1k * gi
                 v2 = a2k + b2k * gj
+                lam_px = lamk
+                if jitter_on:
+                    # per-pixel λ phase jitter: sample at λ_k + δ·Δλ, the
+                    # shear-warp form of the reference's entry jitter
+                    # (`RaymarchMaterialCommon.usf:73-78`); value/coords are
+                    # affine in λ, so everything lerps with plane k+1.
+                    v1n = pa_ref[0, k + 1] + pa_ref[1, k + 1] * gi
+                    v2n = pa_ref[2, k + 1] + pa_ref[3, k + 1] * gj
+                    v1 = v1 + delta * (v1n - v1)
+                    v2 = v2 + delta * (v2n - v2)
+                    lam_px = lamk + delta * (pa_ref[4, k + 1] - lamk)
                 m = (
                     (v1 >= -0.5) & (v1 <= d1f - 0.5)
                     & (v2 >= -0.5) & (v2 <= d2f - 0.5)
-                    & ((e0 + lamk * e1) > 0.0)
+                    & ((e0 + lam_px * e1) > 0.0)
                     & (k < k_real)
                     & ~term
                 )
+                if depth_on:
+                    # scene-depth occlusion clamp
+                    # (`RaymarchMaterialCommon.usf:26-44`): the sample sits
+                    # at camera distance r·λ; λ_max = depth/r per pixel.
+                    m = m & (lam_px <= lmax)
                 value = wbuf[slot, kk].astype(jnp.float32)
-                light = lbuf[slot, kk].astype(jnp.float32)
+                if jitter_on:
+                    vn = wbuf[slot, kk + 1].astype(jnp.float32)
+                    value = value + delta * (vn - value)
                 tf_pos = (value - center + width * 0.5) / width
+                if mode == "intensity":
+                    # first-hit windowed intensity
+                    # (`PerformWindowedIntensityRaymarch`, usf:187-242):
+                    # grayscale = clamped TF position of the first
+                    # non-clipped in-cube sample; no TF table, no light.
+                    val = jnp.clip(tf_pos, 0.0, 1.0)
+                    rr = jnp.where(m, val, rr)
+                    term_f = jnp.maximum(term_f, m.astype(jnp.float32))
+                    return rr, rg, rb, alpha, term_f
+                if mode == "lit":
+                    light = lbuf[slot, kk].astype(jnp.float32)
+                    if jitter_on:
+                        ln = lbuf[slot, kk + 1].astype(jnp.float32)
+                        light = light + delta * (ln - light)
+                else:
+                    light = 1.0
                 cut = ((tf_pos < 0.0) & (low_c > 0.0)) | (
                     (tf_pos > 1.0) & (high_c > 0.0)
                 )
@@ -262,7 +316,7 @@ def _composite_kernel(
 
     zero = jnp.zeros((8, 128), jnp.float32)
     init = (c_lo, zero, zero, zero, zero, zero)
-    c_end, rr, rg, rb, alpha, _ = jax.lax.while_loop(
+    c_end, rr, rg, rb, alpha, term_f = jax.lax.while_loop(
         chunk_cond, chunk_body, init
     )
 
@@ -271,10 +325,16 @@ def _composite_kernel(
     def _():
         wait(c_end, c_end % 2)
 
-    out_ref[0] = rr
-    out_ref[1] = rg
-    out_ref[2] = rb
-    out_ref[3] = alpha
+    if mode == "intensity":
+        out_ref[0] = rr
+        out_ref[1] = rr
+        out_ref[2] = rr
+        out_ref[3] = term_f  # alpha 1 on hit (usf:238)
+    else:
+        out_ref[0] = rr
+        out_ref[1] = rg
+        out_ref[2] = rb
+        out_ref[3] = alpha
 
 
 @partial(
@@ -284,6 +344,8 @@ def _composite_kernel(
         "compute_dtype",
         "interpret",
         "debug_no_skip",
+        "mode",
+        "sample_nearest",
     ),
 )
 def shearwarp_intermediate_fused(
@@ -298,12 +360,29 @@ def shearwarp_intermediate_fused(
     compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
     debug_no_skip: bool = False,
+    jitter: jnp.ndarray | None = None,
+    depth_lam: jnp.ndarray | None = None,
+    mode: str = "lit",
+    sample_nearest: bool = False,
 ) -> jnp.ndarray:
     """Fused-fast shear-warp composite -> (n1, n2, 4).
+
+    ``mode``: "lit" (default), "unlit" (octree-style composite without the
+    light stream, `WindowedRaymarchMaterials.usf:99-183`) or "intensity"
+    (first-hit windowed intensity, usf:187-242 — ``light_volume`` and
+    ``tf_table`` unused). ``sample_nearest`` switches the pre-shear to
+    one-hot nearest selection (`Texture3D.Load` truncation, octree mode).
 
     ``debug_no_skip=True`` disables chunk ESS and the per-tile k-interval
     bounds (ablation knob for measuring the skip benefit; early termination
     still applies unless ``early_termination`` >= 1).
+
+    ``jitter``: optional (n1, n2) per-pixel λ phase in [0, 1) — the
+    shear-warp form of the reference's temporal entry jitter
+    (`RaymarchMaterialCommon.usf:73-78`); samples lerp between adjacent
+    plane fields. ``depth_lam``: optional (n1, n2) per-pixel maximum λ
+    (scene-depth occlusion clamp, `RaymarchMaterialCommon.usf:26-44`) —
+    see :func:`.shearwarp.depth_to_lambda_max`.
 
     Same algorithm as :func:`.shearwarp.shearwarp_intermediate` (the
     equality oracle); forward-only. ``compute_dtype`` is the storage type of
@@ -313,47 +392,70 @@ def shearwarp_intermediate_fused(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    jitter_on = jitter is not None
+    depth_on = depth_lam is not None
     n1, n2, K = plan.n1, plan.n2, plan.k
     assert n1 % 8 == 0 and n2 % 128 == 0, (n1, n2)
     Kp = _ceil_to(K, KB)
     nch = Kp // KB
+    Kbuf = Kp + 1 if jitter_on else Kp  # +1 plane for the k+1 lerp reads
 
     ax = (plan.axis,) + plan.axes12
     vol_t = jnp.transpose(volume, ax)
-    light_t = jnp.transpose(light_volume, ax)
 
     # ---- XLA stage: pre-shear every plane with batched banded matmuls ----
-    vplanes = SW._volume_planes(vol_t, plan)  # (K, D1, D2)
-    l0 = jnp.take(light_t, plan.lm0, axis=0)
-    l1 = jnp.take(light_t, jnp.minimum(plan.lm0 + 1, light_t.shape[0] - 1),
-                  axis=0)
-    lplanes = l0 * (1.0 - plan.lmt[:, None, None]) + l1 * plan.lmt[:, None, None]
-
+    vplanes = SW._volume_planes(vol_t, plan, nearest=sample_nearest)
     W = SW._resample_block(
-        vplanes, plan.a1, plan.b1, plan.a2, plan.b2, n1, n2, compute_dtype
+        vplanes, plan.a1, plan.b1, plan.a2, plan.b2, n1, n2, compute_dtype,
+        nearest=sample_nearest,
     ).astype(compute_dtype)  # (K, n1, n2)
-    L = SW._resample_block(
-        lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2, n1, n2, compute_dtype
-    ).astype(compute_dtype)
-    W = _pad_axis0(W, Kp)
-    L = _pad_axis0(L, Kp)
+    # replicate-pad (clamp-to-edge along the traversal): the jittered last
+    # plane lerps toward a copy of itself; non-jittered padding is masked.
+    pad_spec = ((0, Kbuf - K), (0, 0), (0, 0))
+    W = jnp.pad(W, pad_spec, mode="edge")
+    if mode == "lit":
+        light_t = jnp.transpose(light_volume, ax)
+        l0 = jnp.take(light_t, plan.lm0, axis=0)
+        l1 = jnp.take(
+            light_t, jnp.minimum(plan.lm0 + 1, light_t.shape[0] - 1), axis=0
+        )
+        lplanes = (
+            l0 * (1.0 - plan.lmt[:, None, None])
+            + l1 * plan.lmt[:, None, None]
+        )
+        L = SW._resample_block(
+            lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2, n1, n2,
+            compute_dtype,
+        ).astype(compute_dtype)
+        L = jnp.pad(L, pad_spec, mode="edge")
+    else:
+        L = W  # placeholder operand; the kernel never issues its DMAs
 
     # ---- chunk occupancy (ESS): interval query on per-chunk value range ---
     from .transfer import windowed_tf_range_occupied
 
     sl_mn = _pad_axis0(jnp.min(vplanes, axis=(1, 2)), Kp, value=jnp.inf)
     sl_mx = _pad_axis0(jnp.max(vplanes, axis=(1, 2)), Kp, value=-jnp.inf)
+    mn_c = jnp.min(sl_mn.reshape(nch, KB), axis=1)
+    mx_c = jnp.max(sl_mx.reshape(nch, KB), axis=1)
+    if jitter_on:
+        # jittered samples in chunk c lerp into plane (c+1)*KB
+        nxt = jnp.minimum((jnp.arange(nch) + 1) * KB, Kp - 1)
+        mn_c = jnp.minimum(mn_c, sl_mn[nxt])
+        mx_c = jnp.maximum(mx_c, sl_mx[nxt])
     occ = windowed_tf_range_occupied(
-        jnp.min(sl_mn.reshape(nch, KB), axis=1),
-        jnp.max(sl_mx.reshape(nch, KB), axis=1),
-        windowing_vec4, tf_table,
+        mn_c, mx_c, windowing_vec4, tf_table,
     ).astype(jnp.int32)
+    if mode == "intensity":
+        # no alpha concept: every in-cube sample is a hit — TF-range
+        # occupancy skipping would be wrong, geometry bounds still apply
+        occ = jnp.ones_like(occ)
 
     # ---- per-tile chunk bounds: a border tile only intersects the cube's
     # shrinking preimage for a k-interval; skip the rest of its loop ----
     D1 = volume.shape[plan.axes12[0]]
     D2 = volume.shape[plan.axes12[1]]
-    cvalid = _geo_chunk_validity(plan, D1, D2, Kp, KB)
+    cvalid = _geo_chunk_validity(plan, D1, D2, Kp, KB, jitter=jitter_on)
     cvalid = cvalid & (occ[None, None, :] != 0)
     if debug_no_skip:
         occ = jnp.ones_like(occ)
@@ -363,14 +465,23 @@ def shearwarp_intermediate_fused(
     # ---- scalar/param packing ----
     step_world, e0, e1 = _clip_step_fields(plan, clip_center, clip_direction)
     sc = _scalar_row(windowing_vec4, e0, early_termination, D1, D2)
-    pa = _plane_param_array(plan, Kp)
+    pa = _plane_param_array(plan, Kp, extend=jitter_on)
     tfp = _pack_tf(tf_table)
+    jd = jnp.stack([
+        jnp.zeros((n1, n2), jnp.float32) if jitter is None
+        else jnp.asarray(jitter, jnp.float32),
+        jnp.zeros((n1, n2), jnp.float32) if depth_lam is None
+        else jnp.asarray(depth_lam, jnp.float32),
+    ])
 
     kernel = partial(
         _composite_kernel,
         n_chunks=nch,
         k_real=K,
         early_termination=early_termination,
+        jitter_on=jitter_on,
+        depth_on=depth_on,
+        mode=mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -383,14 +494,18 @@ def shearwarp_intermediate_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j, occ, bnd: (i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8, 128), lambda i, j, occ, bnd: (0, i, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((4, 8, 128), lambda i, j, occ, bnd: (0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, KB, 8, 128), compute_dtype),
-            pltpu.VMEM((2, KB, 8, 128), compute_dtype),
+            pltpu.VMEM((2, KB + 1 if jitter_on else KB, 8, 128),
+                       compute_dtype),
+            pltpu.VMEM((2, KB + 1 if jitter_on else KB, 8, 128),
+                       compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -400,5 +515,5 @@ def shearwarp_intermediate_fused(
         out_shape=jax.ShapeDtypeStruct((4, n1, n2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(occ, bounds, sc, pa, tfp, e1, step_world, W, L)
+    )(occ, bounds, sc, pa, tfp, e1, step_world, jd, W, L)
     return jnp.transpose(out, (1, 2, 0))

@@ -346,11 +346,19 @@ class Renderer:
 
     # --- rendering -----------------------------------------------------------
 
-    def render(self, camera: Camera, width: int, height: int) -> jnp.ndarray:
-        """Render one frame: returns (H, W, 4) RGBA."""
+    def render(self, camera: Camera, width: int, height: int,
+               scene_depth=None) -> jnp.ndarray:
+        """Render one frame: returns (H, W, 4) RGBA.
+
+        ``scene_depth``: optional (H, W) per-pixel occluder depth along the
+        normalized local ray (`rays.scene_depth_from_plane` is a producer) —
+        the reference's depth-buffer embedding
+        (`RaymarchMaterialCommon.usf:26-44`).
+        """
         self.ensure_lighting()
         self.ensure_octree()
-        rays = setup_rays(camera, self.transform, width, height)
+        rays = setup_rays(camera, self.transform, width, height,
+                          scene_depth=scene_depth)
         local_clip = self.transform.local_clip_plane(self.clip_plane)
         win = self.windowing.as_vec4()
         jitter = None
@@ -371,7 +379,7 @@ class Renderer:
                 if explicit or jax.devices()[0].platform != "cpu":
                     img = self._render_shearwarp(
                         camera, width, height, win, local_clip,
-                        allow_fallback=True,
+                        allow_fallback=True, scene_depth=scene_depth,
                     )
                     if img is not None:
                         return img
@@ -380,11 +388,27 @@ class Renderer:
                     )
             return self._render_lit(rays, win, local_clip, jitter)
         if mode == "intensity":
+            if self.config.march_impl in ("auto", "shearwarp") and (
+                jax.devices()[0].platform != "cpu"
+            ):
+                img = self._render_shearwarp_mode(
+                    camera, width, height, win, local_clip, "intensity"
+                )
+                if img is not None:
+                    return img
             return M.march_intensity(
                 self.volume, rays, win, local_clip.center, local_clip.direction,
                 jitter=jitter, step_count=self.config.step_count,
             )
         if mode == "octree":
+            if self.config.march_impl in ("auto", "shearwarp") and (
+                jax.devices()[0].platform != "cpu"
+            ):
+                img = self._render_shearwarp_mode(
+                    camera, width, height, win, local_clip, "octree"
+                )
+                if img is not None:
+                    return img
             return O.march_octree(
                 self.octree, self.tf_table, rays, win,
                 local_clip.center, local_clip.direction, jitter=jitter,
@@ -393,8 +417,66 @@ class Renderer:
             )
         raise ValueError(f"unknown render mode {mode!r}")
 
+    def _render_shearwarp_mode(self, camera, width, height, win, local_clip,
+                               mode):
+        """Fast intensity/octree variants of the fused shear-warp composite
+        (first-hit carry / unlit nearest-mip composite). Returns None when
+        the factorization is unavailable (caller falls back to the march)."""
+        from .ops import shearwarp as SW
+        from .ops.pallas_warp import assert_warp_band, warp_to_screen_fused
+        from .ops.shearwarp_pallas import shearwarp_intermediate_fused
+
+        if mode == "octree":
+            self.ensure_octree(force=True)
+            oc = self.octree
+            m = self.config.octree_mip
+            mip_arr = oc.mips[m]
+            z_eff = max(1, -(-mip_arr.shape[2] * oc.data_dims[2]
+                             // oc.mips[0].shape[2]))
+            vol = mip_arr[:, :, :z_eff]
+        else:
+            vol = self.volume
+        key = (
+            mode,
+            np.asarray(camera.position).tobytes(),
+            np.asarray(camera.rotation).tobytes(),
+            float(camera.tan_half_fov),
+            np.asarray(self.transform.rotation).tobytes(),
+            np.asarray(self.transform.translation).tobytes(),
+            np.asarray(self.transform.scale).tobytes(),
+            width, height, vol.shape, self.config.step_count,
+            self.config.octree_mip,
+        )
+        cache = getattr(self, "_sw_mode_cache", None)
+        if cache is None or cache[0] != key:
+            plan = SW.plan_shearwarp(
+                camera, self.transform, vol.shape, vol.shape, width, height,
+                max_planes=self.config.step_count,
+            )
+            band_ok = False
+            if plan is not None:
+                try:
+                    assert_warp_band(plan, width, height)
+                    band_ok = True
+                except RuntimeError as e:
+                    log.warning("fused warp disabled (%s mode): %s", mode, e)
+            self._sw_mode_cache = (key, plan, band_ok)
+        key, plan, band_ok = self._sw_mode_cache
+        if plan is None:
+            return None
+        inter = shearwarp_intermediate_fused(
+            vol, self.tf_table, vol, plan, win,
+            local_clip.center, local_clip.direction,
+            early_termination=self.config.early_termination,
+            mode="intensity" if mode == "intensity" else "unlit",
+            sample_nearest=(mode == "octree"),
+        )
+        if band_ok:
+            return warp_to_screen_fused(inter, plan, width, height)
+        return SW.warp_to_screen(inter, plan, width, height)
+
     def _render_shearwarp(self, camera, width, height, win, local_clip,
-                          allow_fallback=False):
+                          allow_fallback=False, scene_depth=None):
         """Shear-warp fast path (`ops/shearwarp.py`): slice-plane sampling.
         When the camera is inside the dominant slab the factorization is
         unavailable: returns ``None`` with ``allow_fallback`` (the render()
@@ -441,14 +523,32 @@ class Renderer:
             from .ops.pallas_warp import warp_to_screen_fused
             from .ops.shearwarp_pallas import shearwarp_intermediate_fused
 
+            plan = self._sw_plan
+            jitter = None
+            if self.config.jitter:
+                # per-pixel λ phase jitter in the intermediate grid
+                # (`RaymarchMaterialCommon.usf:73-78` re-expressed)
+                jitter = jitter_values(plan.n2, plan.n1, self._frame_index)
+                self._frame_index += 1
+            depth_lam = None
+            if scene_depth is not None:
+                depth_lam = SW.depth_to_lambda_max(
+                    plan, scene_depth, width, height
+                )
             inter = shearwarp_intermediate_fused(
-                self.volume, self.tf_table, self.light_volume, self._sw_plan,
+                self.volume, self.tf_table, self.light_volume, plan,
                 win, local_clip.center, local_clip.direction,
                 early_termination=self.config.early_termination,
+                jitter=jitter, depth_lam=depth_lam,
             )
             if self._sw_band_ok:
-                return warp_to_screen_fused(inter, self._sw_plan, width, height)
-            return SW.warp_to_screen(inter, self._sw_plan, width, height)
+                return warp_to_screen_fused(inter, plan, width, height)
+            return SW.warp_to_screen(inter, plan, width, height)
+        if self.config.jitter or scene_depth is not None:
+            # the CPU shear-warp path has no jitter/depth variant; let the
+            # march (which supports both) render this frame
+            if allow_fallback:
+                return None
         return SW.shearwarp_lit(
             self.volume, self.tf_table, self.light_volume, self._sw_plan,
             win, local_clip.center, local_clip.direction, width, height,

@@ -209,3 +209,104 @@ def test_debug_no_skip_is_exact():
         compute_dtype=jnp.float32, debug_no_skip=True,
     ))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_jitter_matches_oracle(rng):
+    """Per-pixel λ jitter: fused kernel vs the dense lerp-of-planes oracle."""
+    vol, lv, tf, plan, win = _scene()
+    clip = ClipPlane.disabled()
+    jit = jnp.asarray(rng.random((plan.n1, plan.n2), dtype=np.float32))
+    want = np.asarray(SW.shearwarp_jittered_oracle(
+        vol, tf, lv, plan, win, clip.center, clip.direction, jitter=jit,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, jitter=jit,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # zero jitter reduces exactly to the unjittered composite
+    base = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    z = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, jitter=jnp.zeros((plan.n1, plan.n2)),
+    ))
+    np.testing.assert_allclose(z, base, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_depth_clamp_matches_oracle(rng):
+    """Scene-depth occlusion clamp in the fused composite."""
+    vol, lv, tf, plan, win = _scene()
+    clip = ClipPlane.disabled()
+    # a λ ceiling that cuts roughly mid-volume over half the image
+    lmax = np.full((plan.n1, plan.n2), np.inf, np.float32)
+    lam = np.asarray(plan.lam)
+    lmax[:, : plan.n2 // 2] = lam[len(lam) // 2]
+    lmax = jnp.asarray(lmax)
+    want = np.asarray(SW.shearwarp_jittered_oracle(
+        vol, tf, lv, plan, win, clip.center, clip.direction, depth_lam=lmax,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, depth_lam=lmax,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # the clamp actually removes contribution on the clamped half
+    full = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32,
+    ))
+    assert full[..., 3][:, : plan.n2 // 2].sum() > got[..., 3][:, : plan.n2 // 2].sum()
+
+
+def test_depth_to_lambda_max_units():
+    """depth/r inversion: a depth map equal to each grid point's plane-0
+    camera distance gives λ_max == λ_0 == 1 (up to resampling)."""
+    from tbraymarcherplugin_tpu.ops.shearwarp import depth_to_lambda_max
+
+    _, _, _, plan, _ = _scene()
+    depth = jnp.full((H, W), 1e6, jnp.float32)
+    lmax = np.asarray(depth_to_lambda_max(plan, depth, W, H))
+    assert np.all(lmax > np.abs(np.asarray(plan.lam)).max())
+    near = jnp.full((H, W), 1e-3, jnp.float32)
+    lmax2 = np.asarray(depth_to_lambda_max(plan, near, W, H))
+    assert np.all(lmax2 < 1.0)
+
+
+def test_fused_intensity_mode_matches_oracle():
+    """First-hit windowed-intensity variant of the fused composite."""
+    vol, lv, tf, plan, win = _scene()
+    clip = ClipPlane.create([0.5, 0.5, 0.5], [0.3, 0.8, 0.52])
+    want = np.asarray(SW.shearwarp_jittered_oracle(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        mode="intensity",
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, mode="intensity",
+    ))
+    assert (want[..., 3] > 0).any()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_unlit_nearest_mode_matches_oracle():
+    """Octree-style variant: unlit composite + nearest (Load) sampling."""
+    vol, lv, tf, plan, win = _scene()
+    clip = ClipPlane.disabled()
+    want = np.asarray(SW.shearwarp_jittered_oracle(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        mode="unlit", sample_nearest=True,
+    ))
+    got = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, mode="unlit", sample_nearest=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # nearest sampling visibly differs from bilinear (blocky mip look)
+    lin = np.asarray(shearwarp_intermediate_fused(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+        compute_dtype=jnp.float32, mode="unlit",
+    ))
+    assert np.abs(lin - got).max() > 1e-3
