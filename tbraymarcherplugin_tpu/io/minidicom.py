@@ -9,10 +9,13 @@ series-UID grouping, InstanceNumber ordering, pixel spacing, slice thickness,
 bits-allocated/pixel-representation, single- and multi-frame pixel data.
 
 Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
-Explicit VR Little Endian (1.2.840.10008.1.2.1). Compressed syntaxes (JPEG,
-JPEG-LS, RLE — which the reference delegates to DCMTK codecs) raise a clear
-error; convert such series to MHD or install pydicom (which, when present,
-takes precedence in :mod:`.loaders`).
+Explicit VR Little Endian (1.2.840.10008.1.2.1), and RLE Lossless
+(1.2.840.10008.1.2.5 — PS3.5 Annex G PackBits segments, decoded and encoded
+in pure numpy; the reference registers the matching DCMTK codec in
+`Private/VolumeTextureToolkit.cpp:24-67`). Lossy/DCT syntaxes (JPEG,
+JPEG-LS, JPEG2000) still raise a clear error: a faithful pure-Python DCT
+codec is out of scope — convert such series to MHD or install pydicom
+(which, when present, takes precedence in :mod:`.loaders`).
 
 API mirrors the pydicom subset the loader uses: :func:`dcmread` returning a
 :class:`Dataset` with keyword attribute access and ``pixel_array``.
@@ -28,6 +31,7 @@ import numpy as np
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 
 # Keyword -> (group, element, VR). Only the attributes the loader stack and
 # the fixture writer need.
@@ -80,6 +84,7 @@ class Dataset:
     def __init__(self) -> None:
         self._elements: dict[tuple[int, int], Any] = {}
         self._pixel_data: Optional[bytes] = None
+        self._rle_fragments: Optional[list] = None
 
     # -- element access ------------------------------------------------------
 
@@ -120,6 +125,14 @@ class Dataset:
         Mirrors what the reference gets from `DicomImage`/`getOutputData`
         (`DCMTKLoader.cpp:392-399`) for uncompressed syntaxes.
         """
+        if self._pixel_data is None and self._rle_fragments is not None:
+            # RLE Lossless: one fragment per frame (PS3.5 A.4.2)
+            rows, cols = int(self.Rows), int(self.Columns)
+            bits = int(self.get("BitsAllocated", 16))
+            self._pixel_data = b"".join(
+                _rle_decode_frame(f, rows, cols, bits)
+                for f in self._rle_fragments
+            )
         if self._pixel_data is None:
             raise AttributeError("dataset has no PixelData (header-only read?)")
         bits = int(self.get("BitsAllocated", 16))
@@ -142,6 +155,115 @@ class Dataset:
 
 class InvalidDicomError(ValueError):
     pass
+
+
+# ---------------------------------------------------------------------------
+# RLE Lossless codec (PS3.5 Annex G): PackBits-coded byte segments, MSB
+# plane first for multi-byte samples. Pure numpy/bytes, both directions.
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:  # replicate next byte 257-h times
+            if i < n:
+                out += bytes([data[i]]) * (257 - h)
+                i += 1
+        # h == 128: no-op
+    if len(out) < expected:
+        raise InvalidDicomError(
+            f"RLE segment truncated: {len(out)} < {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # replicate run?
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal run until the next >=3 replicate (2 suffices and is valid)
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 1 < n and data[j] == data[j + 1]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _rle_decode_frame(frag: bytes, rows: int, cols: int,
+                      bits_allocated: int) -> bytes:
+    """One encapsulated RLE frame -> little-endian raw pixel bytes."""
+    if len(frag) < 64:
+        raise InvalidDicomError("RLE frame shorter than its 64-byte header")
+    nseg = struct.unpack_from("<I", frag, 0)[0]
+    offs = struct.unpack_from("<15I", frag, 4)
+    nb = bits_allocated // 8
+    if nseg != nb:
+        raise InvalidDicomError(
+            f"RLE: {nseg} segments for BitsAllocated={bits_allocated} "
+            "(only SamplesPerPixel=1 grayscale is supported)"
+        )
+    n = rows * cols
+    planes = []
+    for s in range(nseg):
+        start = offs[s]
+        end = offs[s + 1] if s + 1 < nseg and offs[s + 1] else len(frag)
+        planes.append(
+            np.frombuffer(_packbits_decode(frag[start:end], n), np.uint8)
+        )
+    if nb == 1:
+        return planes[0].tobytes()
+    # segments are MSB-first byte planes; compose little-endian output
+    val = np.zeros(n, np.uint32)
+    for p in planes:
+        val = (val << 8) | p.astype(np.uint32)
+    dtype = {2: np.uint16, 4: np.uint32}[nb]
+    return val.astype(dtype).tobytes()
+
+
+def _rle_encode_frame(frame: np.ndarray) -> bytes:
+    """(rows, cols) integer array -> one encapsulated RLE frame."""
+    arr = np.asarray(frame)
+    nb = arr.dtype.itemsize
+    if nb > 4:
+        raise InvalidDicomError(f"RLE: unsupported itemsize {nb}")
+    flat = arr.reshape(-1)
+    u = flat.astype(flat.dtype.newbyteorder("<")).view(
+        {1: np.uint8, 2: np.uint16, 4: np.uint32}[nb]
+    )
+    segs = []
+    for s in range(nb):  # MSB plane first
+        shift = 8 * (nb - 1 - s)
+        plane = ((u.astype(np.uint64) >> shift) & 0xFF).astype(np.uint8)
+        enc = _packbits_encode(plane.tobytes())
+        if len(enc) % 2:
+            enc += b"\x00"
+        segs.append(enc)
+    header = struct.pack("<I", nb)
+    off = 64
+    offsets = []
+    for s in segs:
+        offsets.append(off)
+        off += len(s)
+    offsets += [0] * (15 - len(offsets))
+    header += struct.pack("<15I", *offsets)
+    return header + b"".join(segs)
 
 
 def _parse_value(vr: str, raw: bytes) -> Any:
@@ -217,8 +339,35 @@ def _read_element(buf: bytes, pos: int, explicit: bool):
     return tag, vr, value, pos
 
 
+def _read_encapsulated(buf: bytes, pos: int):
+    """Parse an encapsulated (undefined-length OB) PixelData element at
+    ``pos`` (after the tag): returns (fragments, new_pos). The first item
+    is the Basic Offset Table (possibly empty); the rest are fragments."""
+    vr = buf[pos:pos + 2].decode("ascii", errors="replace")
+    if vr != "OB":
+        raise InvalidDicomError(f"encapsulated PixelData with VR {vr!r}")
+    (length,) = struct.unpack_from("<I", buf, pos + 4)
+    pos += 8
+    if length != 0xFFFFFFFF:
+        raise InvalidDicomError("encapsulated PixelData with defined length")
+    items = []
+    while pos + 8 <= len(buf):
+        g, e = struct.unpack_from("<HH", buf, pos)
+        (ln,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        if (g, e) == (0xFFFE, 0xE0DD):  # sequence delimiter
+            break
+        if (g, e) != (0xFFFE, 0xE000):
+            raise InvalidDicomError(
+                f"unexpected tag ({g:04x},{e:04x}) in encapsulated PixelData"
+            )
+        items.append(buf[pos:pos + ln])
+        pos += ln
+    return items[1:], pos  # drop the Basic Offset Table item
+
+
 def dcmread(path: str, stop_before_pixels: bool = False) -> Dataset:
-    """Read a DICOM Part-10 file (uncompressed LE syntaxes only)."""
+    """Read a DICOM Part-10 file (uncompressed LE + RLE Lossless)."""
     with open(path, "rb") as f:
         buf = f.read()
     if len(buf) < 132 + 8 or buf[128:132] != b"DICM":
@@ -239,15 +388,22 @@ def dcmread(path: str, stop_before_pixels: bool = False) -> Dataset:
                 transfer_syntax = val
             ds._elements[tag] = val
 
-    if transfer_syntax not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE):
+    if transfer_syntax not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE, RLE_LOSSLESS):
         raise InvalidDicomError(
             f"{path}: compressed/unsupported transfer syntax {transfer_syntax}"
             " — convert to MHD or install pydicom"
         )
-    explicit = transfer_syntax == EXPLICIT_VR_LE
+    rle = transfer_syntax == RLE_LOSSLESS
+    explicit = transfer_syntax != IMPLICIT_VR_LE
 
     pixel_tag = _DICT["PixelData"][:2]
     while pos + 8 <= len(buf):
+        if rle and pos + 4 <= len(buf) and struct.unpack_from(
+            "<HH", buf, pos
+        ) == pixel_tag:
+            if not stop_before_pixels:
+                ds._rle_fragments = _read_encapsulated(buf, pos + 4)[0]
+            break
         tag, vr, raw, pos = _read_element(buf, pos, explicit)
         if tag == pixel_tag:
             if not stop_before_pixels and raw is not None:
@@ -302,12 +458,14 @@ def _encode_element(group: int, elem: int, vr: str, value: Any) -> bytes:
 
 
 def write_dicom(path: str, elements: dict[str, Any],
-                pixel_data: Optional[np.ndarray] = None) -> None:
-    """Write an Explicit-VR-LE Part-10 file from keyword->value elements.
+                pixel_data: Optional[np.ndarray] = None,
+                rle: bool = False) -> None:
+    """Write a Part-10 file from keyword->value elements.
 
     ``pixel_data`` is a (rows, cols) or (frames, rows, cols) integer array;
     Rows/Columns/BitsAllocated/PixelRepresentation/NumberOfFrames are derived
-    from it when not given explicitly.
+    from it when not given explicitly. ``rle=True`` writes RLE Lossless
+    (encapsulated PackBits frames) instead of Explicit VR LE.
     """
     elements = dict(elements)
     if pixel_data is not None:
@@ -331,7 +489,7 @@ def write_dicom(path: str, elements: dict[str, Any],
          elements.get("SOPClassUID", "1.2.840.10008.5.1.4.1.1.2")),
         ("MediaStorageSOPInstanceUID",
          elements.get("SOPInstanceUID", "1.2.3.4.5")),
-        ("TransferSyntaxUID", EXPLICIT_VR_LE),
+        ("TransferSyntaxUID", RLE_LOSSLESS if rle else EXPLICIT_VR_LE),
         ("ImplementationClassUID", "1.2.826.0.1.3680043.8.498.1"),
     ]
     meta_body = b"".join(
@@ -348,10 +506,24 @@ def write_dicom(path: str, elements: dict[str, Any],
         out += _encode_element(g, e, vr, elements[kw])
 
     if pixel_data is not None:
-        raw = pixel_data.astype(pixel_data.dtype.newbyteorder("<")).tobytes()
-        if len(raw) % 2:
-            raw += b"\x00"
-        out += _encode_element(0x7FE0, 0x0010, "OW", raw)
+        if rle:
+            frames = pixel_data if pixel_data.ndim == 3 else pixel_data[None]
+            out += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+            out += struct.pack("<I", 0xFFFFFFFF)
+            out += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
+            for fr in frames:
+                frag = _rle_encode_frame(fr)
+                if len(frag) % 2:
+                    frag += b"\x00"
+                out += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+            out += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        else:
+            raw = pixel_data.astype(
+                pixel_data.dtype.newbyteorder("<")
+            ).tobytes()
+            if len(raw) % 2:
+                raw += b"\x00"
+            out += _encode_element(0x7FE0, 0x0010, "OW", raw)
 
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

@@ -284,3 +284,74 @@ def test_dump_file_structure(tmp_path):
     # CLI surface
     rc = cli_main([path, str(tmp_path / "out.png"), "--dump-dicom"])
     assert rc == 0
+
+
+def test_minidicom_rle_roundtrip(tmp_path, rng):
+    """RLE Lossless (PS3.5 Annex G): encode + decode bit-exact, int16 CT
+    range with negative values and runs (the codec the reference registers
+    via DCMTK, `VolumeTextureToolkit.cpp:24-67`)."""
+    data = (rng.random((16, 13)) * 4000 - 1000).astype(np.int16)
+    data[3:7, :] = -1000  # long replicate runs exercise PackBits
+    p = str(tmp_path / "rle.dcm")
+    md.write_dicom(p, {
+        "SeriesInstanceUID": "9.8.7.6",
+        "InstanceNumber": 1,
+    }, pixel_data=data, rle=True)
+    ds = md.dcmread(p)
+    assert ds.get("TransferSyntaxUID") == md.RLE_LOSSLESS
+    np.testing.assert_array_equal(ds.pixel_array, data)
+    # uint8 path too
+    d8 = (rng.random((9, 11)) * 255).astype(np.uint8)
+    p8 = str(tmp_path / "rle8.dcm")
+    md.write_dicom(p8, {"SeriesInstanceUID": "9.8.7.5"}, pixel_data=d8,
+                   rle=True)
+    np.testing.assert_array_equal(md.dcmread(p8).pixel_array, d8)
+
+
+def test_rle_series_loads_through_loaders(tmp_path, rng):
+    """An RLE-compressed CT series loads through the public loader API."""
+    folder = str(tmp_path / "rle_series")
+    os.makedirs(folder)
+    rows, cols, n = 6, 5, 4
+    data = (rng.random((n, rows, cols)) * 3000 - 1000).astype(np.int16)
+    for i in range(n):
+        md.write_dicom(os.path.join(folder, f"s{i}.dcm"), {
+            "SOPInstanceUID": f"1.2.9.{i}",
+            "SeriesInstanceUID": "1.2.9",
+            "Modality": "CT",
+            "InstanceNumber": i + 1,
+            "ImagePositionPatient": [0.0, 0.0, 10.0 + 2.5 * i],
+            "PixelSpacing": [0.8, 0.7],
+            "SliceThickness": 2.5,
+        }, pixel_data=data[i], rle=True)
+    loaded = DICOMLoader().load(
+        os.path.join(folder, "s0.dcm"), normalize=True
+    )
+    assert loaded.info.dimensions == (cols, rows, n)
+    flat = np.asarray(loaded.data).ravel()
+    ref = data.astype(np.float32)
+    ref = (ref - ref.min()) / (ref.max() - ref.min())
+    # loader axis convention may permute; compare sorted values (lossless)
+    np.testing.assert_allclose(
+        np.sort(flat), np.sort(ref.ravel()), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_jpeg_syntax_still_raises(tmp_path):
+    """Lossy syntaxes keep the loud, documented refusal."""
+    import struct as _s
+
+    p = str(tmp_path / "jpeg.dcm")
+    body = bytearray(b"\x00" * 128 + b"DICM")
+    ts = "1.2.840.10008.1.2.4.50"  # JPEG baseline
+    raw = ts.encode() + (b"\x00" if len(ts) % 2 else b"")
+    el = _s.pack("<HH", 2, 0x10) + b"UI" + _s.pack("<H", len(raw)) + raw
+    body += _s.pack("<HH", 2, 0) + b"UL" + _s.pack("<H", 4)
+    body += _s.pack("<I", len(el))
+    body += el
+    with open(p, "wb") as f:
+        f.write(body)
+    import pytest as _pytest
+
+    with _pytest.raises(md.InvalidDicomError, match="transfer syntax"):
+        md.dcmread(p)
