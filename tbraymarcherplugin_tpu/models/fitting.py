@@ -102,6 +102,9 @@ def fit(
     config: Optional[FitConfig] = None,
     callback=None,
     return_metrics: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ):
     """Gradient-descend the render parameters toward a target image.
 
@@ -109,6 +112,14 @@ def fit(
     ``return_metrics=True``: a list of per-step dicts (loss, per-leaf grad
     norms, rays/s, ms/step) for observability (SURVEY §5 metrics/logging).
     A jitted update step; masked leaves stay frozen.
+
+    ``checkpoint_dir`` enables crash recovery (SURVEY §5 failure-detection
+    row): (params, opt_state) are saved every ``checkpoint_every`` steps via
+    `utils.checkpoint.CheckpointManager`; with ``resume=True`` a killed fit
+    restarts from the newest checkpoint and continues with bit-identical
+    optimizer state (exercised by tests/test_recovery.py, which kills the
+    process mid-fit and asserts the resumed losses equal an uninterrupted
+    run's).
     """
     config = config or FitConfig()
     loss_fn = make_loss_fn(
@@ -148,7 +159,16 @@ def fit(
     params = init_params
     losses = []
     metrics = []
-    for step in range(config.steps):
+    start_step = 0
+    mgr = None
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        if resume and mgr.latest_step() is not None:
+            (params, opt_state), meta = mgr.restore((params, opt_state))
+            start_step = int(meta["step"]) + 1
+    for step in range(start_step, config.steps):
         t0 = _time.perf_counter()
         params, opt_state, loss, gnorms = train_step(params, opt_state)
         loss = float(jax.block_until_ready(loss))
@@ -159,6 +179,8 @@ def fit(
             m.update(loss=loss, ms_per_step=dt * 1e3,
                      rays_per_s=n_rays / dt)
             metrics.append(m)
+        if mgr is not None and step % checkpoint_every == 0:
+            mgr.save(step, (params, opt_state))
         if callback is not None:
             callback(step, params, loss)
     if return_metrics:

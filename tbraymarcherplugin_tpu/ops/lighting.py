@@ -309,26 +309,27 @@ def _const_shift_trilinear(volume, light_dims, uvw_offset):
         c1 = c10 * (1 - fy) + c11 * fy
         return c0 * (1 - fx) + c1 * fx
 
-    # Downsampling ratios: trilinear with constant fractional weights == a
-    # separable 2x2x2 convolution with stride r. The old formulation (8
-    # corner slices each strided [::r] on all three axes) hit XLA's
-    # scalarized lane-dim strided-slice lowering (~358 ms at 256^3 ->
-    # 128^3 on TPU); strided convs lower natively.
-    sizes = tuple((ld[a] - 1) * r[a] + 2 for a in range(3))
-    sl = jax.lax.dynamic_slice(vp, (i0[0], i0[1], i0[2]), sizes)
-    kern = (
-        jnp.stack([1.0 - fx, fx]).reshape(2, 1, 1)
-        * jnp.stack([1.0 - fy, fy]).reshape(1, 2, 1)
-        * jnp.stack([1.0 - fz, fz]).reshape(1, 1, 2)
-    )
-    out = jax.lax.conv_general_dilated(
-        sl[None, None],
-        kern[None, None].astype(sl.dtype),
-        window_strides=r,
-        padding="VALID",
-        dimension_numbers=("NCXYZ", "OIXYZ", "NCXYZ"),
-    )
-    return out[0, 0]
+    # Downsampling ratios: trilinear with constant fractional weights is a
+    # SEPARABLE 2-tap resample per axis — three banded selection matmuls on
+    # the MXU (the shear-warp `_resample_matrices` trick). Round 3 used a
+    # strided `conv_general_dilated`, which measured ~100 ms at 256³→128³
+    # on this chip (3D-conv layout conversions); the matmul chain is ~4e9
+    # MACs of pure MXU work and lowers with no relayouts.
+    def sel(axis):
+        g = jnp.arange(ld[axis]) * r[axis] + i0[axis]  # (ld,) tap-0 index
+        j = jnp.arange(vp.shape[axis])
+        f = frac[axis]
+        return (
+            (j[None, :] == g[:, None]).astype(vp.dtype) * (1.0 - f)
+            + (j[None, :] == (g + 1)[:, None]).astype(vp.dtype) * f
+        )  # (ld, Vp)
+
+    t = jnp.einsum("gx,xyz->gyz", sel(0), vp,
+                   preferred_element_type=jnp.float32)
+    t = jnp.einsum("hy,gyz->ghz", sel(1), t,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("iz,ghz->ghi", sel(2), t,
+                      preferred_element_type=jnp.float32)
 
 
 class FacePropagationPlan(NamedTuple):
