@@ -117,11 +117,33 @@ def tf_rainbow(resolution: int = TF_RESOLUTION) -> jnp.ndarray:
     )
 
 
+def tf_preset(name: str) -> jnp.ndarray:
+    """One of the reference's 22 CT curve presets (`Content/Curves/
+    TF_CT-*.uasset`, normalized 3D Slicer presets) as a (256, 4) table."""
+    from .tf_presets_data import preset_table
+
+    return jnp.asarray(preset_table(name))
+
+
+def _stock_presets():
+    from .tf_presets_data import PRESET_NAMES
+
+    def make(n):
+        return lambda: tf_preset(n)
+
+    return {
+        n[3:].lower().replace("-", "_"): make(n) for n in PRESET_NAMES
+    }
+
+
 STOCK_TRANSFER_FUNCTIONS = {
     "grayscale": default_grayscale_tf,
     "ct_bone": tf_ct_bone,
     "ct_soft_tissue": tf_ct_soft_tissue,
     "rainbow": tf_rainbow,
+    # the reference's full curve library, e.g. "ct_lung", "ct_cardiac",
+    # "ct_mip", "ct_x_ray" (22 presets; see ops/tf_presets_data.py)
+    **_stock_presets(),
 }
 
 

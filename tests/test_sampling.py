@@ -139,3 +139,28 @@ def test_tf_from_keypoints():
     )
     ramp = np.linspace(0, 1, 256)
     np.testing.assert_allclose(tf[:, 0], ramp, atol=1e-6)
+
+
+def test_tf_preset_library_covers_reference_curves():
+    """All 22 reference curve assets (Content/Curves/TF_CT-*) exist as
+    stock presets with valid (256, 4) tables in [0, 1]."""
+    import numpy as np
+
+    from tbraymarcherplugin_tpu.ops.transfer import (
+        STOCK_TRANSFER_FUNCTIONS, tf_preset,
+    )
+    from tbraymarcherplugin_tpu.ops.tf_presets_data import PRESET_NAMES
+
+    assert len(PRESET_NAMES) == 22
+    for n in PRESET_NAMES:
+        t = np.asarray(tf_preset(n))
+        assert t.shape == (256, 4)
+        assert t.min() >= 0.0 and t.max() <= 1.0
+        assert t[:, 3].max() > 0.0, n  # every preset has visible opacity
+    # friendly keys resolve through the stock dict
+    for key in ("ct_lung", "ct_mip", "ct_x_ray", "ct_cardiac"):
+        t = np.asarray(STOCK_TRANSFER_FUNCTIONS[key]())
+        assert t.shape == (256, 4)
+    # the bone preset's alpha climbs with density (sanity of content)
+    bone = np.asarray(tf_preset("TF_CT-Bone"))
+    assert bone[200, 3] > bone[100, 3]
