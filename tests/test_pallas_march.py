@@ -72,6 +72,7 @@ def test_pallas_march_clip_window_cutoffs():
     assert not np.allclose(got, got2)  # the clip did something
 
 
+@pytest.mark.slow
 def test_pallas_march_jitter():
     volume, lv, rays = _scene(img=(32, 64))  # width 32, height 64
     win = jnp.array([0.5, 1.0, 1.0, 1.0])
@@ -80,6 +81,7 @@ def test_pallas_march_jitter():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pallas_march_early_termination():
     # Opaque volume: every center ray crosses 0.95 and snaps to exactly 1.
     volume = jnp.ones((16, 16, 16), jnp.float32)
@@ -122,6 +124,7 @@ def test_pallas_march_full_res_light():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pallas_march_nonmultiple_image():
     # 30x27 image: edge-replicated tile padding must not leak into output.
     volume, lv, _ = _scene()
@@ -158,6 +161,7 @@ def test_footprint_guard():
     assert not PM.fits_pallas_window(tiny, volume.shape, 8)
 
 
+@pytest.mark.slow
 def test_pallas_march_custom_window():
     """Non-default static DMA window (asymmetric pencils + deeper z), as
     chosen by choose_window for zoomed-out/coarse-step scenes."""

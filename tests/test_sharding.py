@@ -87,6 +87,7 @@ def test_ray_sharded_padding_odd_count():
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device_grads():
     params, rays, plans, dims = _scene(img=8)
     mesh = make_mesh({"rays": 8})
@@ -194,6 +195,7 @@ def test_2d_mesh_rays_and_slab():
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_slab_ring_march_matches_single_device_with_early_termination():
     """The v2 ray-state ring: early termination ON, exact vs march_lit.
 
@@ -331,6 +333,7 @@ def test_sharded_illumination_v2_nonuniform_light_dims(vdims, ldims):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_overlapped_allreduce_grads_match():
     """Overlap mode (per-use psum_cotangent markers, no bulk psum) must give
     exactly the same gradients/updates as the bulk all-reduce."""

@@ -350,6 +350,7 @@ def test_max_planes_matches_reference():
     np.testing.assert_allclose(fused, got, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_max_planes_fused_diff_grads(rng):
     """The differentiable fused path handles fractional plane selection
     (gradients flow through both slices' one-hot weights)."""

@@ -84,7 +84,7 @@ def test_fused_diff_forward_matches_scan():
 
 @pytest.mark.parametrize("winv", [
     [0.45, 0.7, 1.0, 1.0],   # both cutoffs on
-    [0.5, 1.1, 0.0, 0.0],    # cutoffs off
+    pytest.param([0.5, 1.1, 0.0, 0.0], marks=pytest.mark.slow),  # cutoffs off
 ])
 def test_fused_bwd_matches_xla(rng, winv):
     vol, lv, tf, plan = _scene()
@@ -104,6 +104,7 @@ def test_fused_bwd_early_termination(rng):
     _compare(plan, vol, lv, tf, win, clip, rng)
 
 
+@pytest.mark.slow
 def test_fused_bwd_clip_plane(rng):
     vol, lv, tf, plan = _scene((2.1, 0.7, 0.9))
     clip = ClipPlane.create([0.5, 0.5, 0.5], [0.3, 0.8, 0.52])
