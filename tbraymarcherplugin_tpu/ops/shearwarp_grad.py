@@ -64,6 +64,9 @@ from .shearwarp_pallas import (
 )
 
 
+_DISABLE_HIST = False  # benchmark ablation knob (never set in library code)
+
+
 def _tf_taps(tfp, tf_pos):
     """Raw lerp taps for all 4 channels: (i0, i1, frac, [(c0, c1)] * 4)."""
     x = tf_pos * 256.0 - 0.5
@@ -369,7 +372,8 @@ def _composite_bwd_kernel(
 
                 return jax.lax.fori_loop(0, 8, hist_row, h)
 
-            hist = jax.lax.cond(wmax > 0.0, do_hist, lambda h: h, hist)
+            if not _DISABLE_HIST:  # ablation knob (benchmarks only)
+                hist = jax.lax.cond(wmax > 0.0, do_hist, lambda h: h, hist)
 
             U = a_eff * P + (1.0 - a_eff) * U
             V = (1.0 - a_eff) * V
