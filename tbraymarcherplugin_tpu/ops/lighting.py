@@ -245,12 +245,14 @@ def occluder_opacity_volume(
             value, tf_table, windowing_vec4, step_size * VOLUME_DENSITY
         )
     elif tf_impl == "pallas_vjp":
-        # Differentiable variant (custom-VJP rgba unit, alpha channel).
-        from .pallas_tf import windowed_tf_rgba
+        # Differentiable variant: alpha-only custom-VJP unit (the rgba
+        # unit's backward would tap and histogram three zero-weight color
+        # channels here).
+        from .pallas_tf import windowed_tf_alpha_vjp
 
-        opacity = windowed_tf_rgba(
+        opacity = windowed_tf_alpha_vjp(
             value, tf_table, windowing_vec4, step_size * VOLUME_DENSITY
-        )[..., 3]
+        )
     else:
         opacity = sample_windowed_transfer_function(
             value, step_size * VOLUME_DENSITY, tf_table, windowing_vec4

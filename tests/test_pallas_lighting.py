@@ -212,3 +212,38 @@ def test_occluder_pallas_vjp_grads_match_xla(rng):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_windowed_tf_alpha_vjp_matches_xla(rng):
+    """Alpha-only differentiable TF unit (the occluder's VJP path)."""
+    from tbraymarcherplugin_tpu.ops.pallas_tf import windowed_tf_alpha_vjp
+    from tbraymarcherplugin_tpu.ops.sampling import (
+        sample_windowed_transfer_function,
+    )
+    from tbraymarcherplugin_tpu.ops import transfer as T
+
+    vals = jnp.asarray(rng.random((9, 13), dtype=np.float32))
+    step = jnp.asarray(0.5 + rng.random((9, 13), dtype=np.float32))
+    tf = T.tf_ct_bone()
+    g = jnp.asarray(rng.random((9, 13), dtype=np.float32))
+    win = jnp.asarray([0.45, 0.7, 1.0, 1.0], jnp.float32)
+
+    got_f = np.asarray(windowed_tf_alpha_vjp(vals, tf, win, step, True))
+    want_f = np.asarray(
+        sample_windowed_transfer_function(vals, step, tf, win)
+    )[..., 3]
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-6)
+
+    def lp(v, t, w, s):
+        return jnp.sum(windowed_tf_alpha_vjp(v, t, w, s, True) * g)
+
+    def lx(v, t, w, s):
+        return jnp.sum(
+            sample_windowed_transfer_function(v, s, t, w)[..., 3] * g
+        )
+
+    gp = jax.grad(lp, argnums=(0, 1, 2, 3))(vals, tf, win, step)
+    gx = jax.grad(lx, argnums=(0, 1, 2, 3))(vals, tf, win, step)
+    for name, a, b in zip(("dval", "dtf", "dwin", "dstep"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
