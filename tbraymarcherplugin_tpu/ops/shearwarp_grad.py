@@ -26,10 +26,13 @@ Kernel structure per (8, 128) pixel tile:
     this exact because occupancy-skipped chunks provably produce zero alpha;
   sweep 2 (k descending): re-stream W/L, recompute the TF taps, and emit
     every cotangent in one pass: dW (value chain via TF slopes), dL, the
-    dTF histogram (per-row one-hot (256,128)@(128,4) MXU matmuls, the
-    `pallas_tf` pattern), and d(center)/d(width) partials. Chunks behind
-    the tile's termination depth or outside its geometric k-interval write
-    zeros without being read.
+    dTF histogram (16x16 segment/offset decomposition: texel t = 16s + o
+    factors the dense 256-row one-hot into two 16-row one-hots contracted
+    on the MXU as (64,128)@(16,128)^T per row/tap — ~2.5x fewer VPU ops
+    than the dense build, which measured 61% of this kernel), and
+    d(center)/d(width) partials. Chunks behind the tile's termination
+    depth or outside its geometric k-interval write zeros without being
+    read.
 
 Gradient semantics match XLA autodiff of `shearwarp_intermediate` (the
 oracle in tests/test_shearwarp_grad.py): `where` masks and the 0.95
@@ -336,41 +339,51 @@ def _composite_bwd_kernel(
             accdc = accdc + gx * (-256.0 / width)
             accdw = accdw + gx * (256.0 * (0.5 - tf_pos) / width)
 
-            # dTF histogram: per-row one-hot (256,128) @ (128,4) matmuls,
-            # skipped when every weight in the plane-tile is zero
-            # (terminated / masked / empty planes — the common case).
+            # dTF histogram via the 16x16 segment/offset decomposition:
+            # texel t = 16*s + o, so the dense 256-row one-hot factors into
+            # two 16-row one-hots and H[c,s,o] = sum_q S[s,q] w_c[q] O[o,q]
+            # — one (64,128) @ (16,128)^T MXU product per (row, tap)
+            # (lane-lane contraction lowers to a transposed matmul). ~2.5x
+            # fewer VPU ops than the 256-row build (PERF_R4.md ablation:
+            # the dense hist was 61% of this kernel). Skipped when every
+            # weight in the plane-tile is zero (terminated / masked /
+            # empty planes).
             wmax = (
                 jnp.max(jnp.abs(ga)) + jnp.max(jnp.abs(ger))
                 + jnp.max(jnp.abs(geg)) + jnp.max(jnp.abs(geb))
             )
 
             def do_hist(h):
-                texel = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+                iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
 
                 def row_of(arr, r):
                     return pltpu.roll(arr, -r, axis=0)[0:1, :]
 
-                def hist_row(r, acc):
-                    iar = jnp.broadcast_to(row_of(ia, r), (256, 128))
-                    ibr = jnp.broadcast_to(row_of(ib, r), (256, 128))
-                    fr = jnp.broadcast_to(row_of(frac, r), (256, 128))
-                    A = jnp.where(texel == iar, 1.0 - fr, 0.0) + jnp.where(
-                        texel == ibr, fr, 0.0
-                    )
-                    gw = jnp.concatenate(
-                        [
-                            jnp.reshape(row_of(x, r), (128, 1))
-                            for x in (ger, geg, geb, ga)
-                        ],
-                        axis=1,
-                    )
-                    part = jax.lax.dot_general(
-                        A, gw, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    return acc + part
+                def tap_rows(idx, wmul, h):
+                    s_idx = idx >> 4
+                    o_idx = idx & 15
+                    wts = (ger * wmul, geg * wmul, geb * wmul, ga * wmul)
 
-                return jax.lax.fori_loop(0, 8, hist_row, h)
+                    def hist_row(r, acc):
+                        s_r = jnp.broadcast_to(row_of(s_idx, r), (16, 128))
+                        o_r = jnp.broadcast_to(row_of(o_idx, r), (16, 128))
+                        S = jnp.where(iota16 == s_r, 1.0, 0.0)
+                        O = jnp.where(iota16 == o_r, 1.0, 0.0)
+                        L = jnp.concatenate([
+                            S * jnp.broadcast_to(row_of(w, r), (16, 128))
+                            for w in wts
+                        ], axis=0)  # (64, 128): channel-major blocks
+                        part = jax.lax.dot_general(
+                            L, O,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (64, 16): [c*16+s, o]
+                        return acc + part
+
+                    return jax.lax.fori_loop(0, 8, hist_row, h)
+
+                h = tap_rows(ia, 1.0 - frac, h)
+                return tap_rows(ib, frac, h)
 
             if not _DISABLE_HIST:  # ablation knob (benchmarks only)
                 hist = jax.lax.cond(wmax > 0.0, do_hist, lambda h: h, hist)
@@ -388,12 +401,12 @@ def _composite_bwd_kernel(
 
     init = (
         zero, jnp.ones((8, 128), jnp.float32),
-        jnp.zeros((256, 4), jnp.float32), zero, zero,
+        jnp.zeros((64, 16), jnp.float32), zero, zero,
     )
     _, _, hist, accdc, accdw = jax.lax.fori_loop(
         0, c_end - c_lo, s2_body, init
     )
-    acc_ref[0:256, 0:4] = acc_ref[0:256, 0:4] + hist
+    acc_ref[0:64, 0:16] = acc_ref[0:64, 0:16] + hist
     acc_ref[256:264, :] = acc_ref[256:264, :] + accdc
     acc_ref[264:272, :] = acc_ref[264:272, :] + accdw
 
@@ -534,7 +547,10 @@ def _vjp_bwd(cfg, res, g):
         grid_spec=grid_spec,
         interpret=interpret,
     )(bounds_geo, sc, pa, tfp, e1, step_world, gt, W, L)
-    dtf = acc[0:256, 0:4].astype(tf_table.dtype)
+    # reassemble the (64,16) [c*16+s, o] layout back to (256, 4)
+    dtf = jnp.transpose(
+        acc[0:64, 0:16].reshape(4, 16, 16), (1, 2, 0)
+    ).reshape(256, 4).astype(tf_table.dtype)
     dwin = jnp.stack([
         jnp.sum(acc[256:264, :]),
         jnp.sum(acc[264:272, :]),
