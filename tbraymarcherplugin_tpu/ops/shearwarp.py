@@ -263,6 +263,12 @@ def plan_shearwarp(
         scale = math.sqrt(max_pixels / (n1 * n2))
         n1 = max(align, int(n1 * scale) // align * align)
         n2 = max(align, int(n2 * scale) // align * align)
+    if align >= 128:
+        # Quantize to 256-multiples so a zooming camera reuses jit variants
+        # (grid sizes are static: every new (n1, n2) is a fresh compile).
+        cap = max(align, max_n // align * align)
+        n1 = max(align, min(-(-n1 // 256) * 256, cap))
+        n2 = max(align, min(-(-n2 // 256) * 256, cap))
     d1 = (g1hi - g1lo) / n1
     d2 = (g2hi - g2lo) / n2
 
