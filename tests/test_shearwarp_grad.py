@@ -110,3 +110,51 @@ def test_fused_bwd_clip_plane(rng):
     clip = ClipPlane.create([0.5, 0.5, 0.5], [0.3, 0.8, 0.52])
     win = jnp.asarray([0.45, 0.7, 1.0, 1.0], jnp.float32)
     _compare(plan, vol, lv, tf, win, clip, rng)
+
+
+@pytest.mark.slow
+def test_fused_backward_matches_finite_differences(rng):
+    """FD directly through the hand-derived kernel VJP (not just vs XLA
+    autodiff): window center, a TF alpha texel, and a volume voxel. Run in
+    the smooth regime (cutoffs off, no ET crossing) as all FD checks are."""
+    vol, lv, tf, plan = _scene()
+    clip = ClipPlane.disabled()
+    win = jnp.asarray([0.5, 1.2, 0.0, 0.0], jnp.float32)
+    g = jnp.asarray(rng.random((plan.n1, plan.n2, 4), dtype=np.float32))
+
+    def loss(v, t, w):
+        out = shearwarp_intermediate_fused_diff(
+            v, t, lv, plan, w, clip.center, clip.direction,
+            early_termination=1.5, interpret=True,
+        )
+        return jnp.sum(out * g)
+
+    gv, gt, gw = jax.grad(loss, argnums=(0, 1, 2))(vol, tf, win)
+
+    def fd(f, eps):
+        return (f(eps) - f(-eps)) / (2 * eps)
+
+    # window center — eps below the TF texel width
+    eps = 5e-4
+    fd_c = float(fd(lambda e: loss(
+        vol, tf, win + jnp.asarray([e, 0, 0, 0], jnp.float32)
+    ), eps))
+    np.testing.assert_allclose(float(gw[0]), fd_c, rtol=2e-2)
+
+    # a TF alpha texel with nonzero gradient
+    t_idx = int(np.argmax(np.abs(np.asarray(gt)[:, 3])))
+    e_t = np.zeros((256, 4), np.float32)
+    e_t[t_idx, 3] = 1.0
+    fd_t = float(fd(lambda e: loss(vol, tf + e * e_t, win), 1e-3))
+    np.testing.assert_allclose(float(gt[t_idx, 3]), fd_t, rtol=2e-2)
+
+    # a volume voxel with nonzero gradient
+    gva = np.abs(np.asarray(gv))
+    vi = np.unravel_index(int(np.argmax(gva)), gva.shape)
+    e_v = np.zeros(vol.shape, np.float32)
+    e_v[vi] = 1.0
+    fd_v = float(fd(lambda e: loss(vol + e * jnp.asarray(e_v), tf, win),
+                    2e-3))
+    # a voxel perturbation moves many samples across TF kinks and the loss
+    # is a large f32 sum — FD noise is a few percent here
+    np.testing.assert_allclose(float(np.asarray(gv)[vi]), fd_v, rtol=6e-2)
