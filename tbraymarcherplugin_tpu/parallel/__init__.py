@@ -12,7 +12,10 @@ from .ray_sharding import (
     render_lit_sharded,
 )
 from .overlap import psum_cotangent
-from .shearwarp_sharding import shearwarp_lit_sharded
+from .shearwarp_sharding import (
+    shearwarp_lit_sharded,
+    shearwarp_lit_sharded_diff,
+)
 from .slab_sharding import (
     compute_illumination_sharded,
     compute_illumination_sharded_v2,
@@ -31,6 +34,7 @@ __all__ = [
     "psum_cotangent",
     "render_lit_sharded",
     "shearwarp_lit_sharded",
+    "shearwarp_lit_sharded_diff",
     "replicated",
     "sharded_along",
 ]

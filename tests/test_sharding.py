@@ -397,3 +397,70 @@ def test_sharded_shearwarp_matches_single_device():
     )
     assert single[..., 3].max() > 0.1
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_diff_shearwarp_grads_match_single_device(rng):
+    """The differentiable sharded shear-warp (fused custom-VJP composite
+    per column slab + all_gather + banded-warp adjoint, grads inside the
+    shard_map with one psum): loss AND gradients must equal the
+    single-device fused path."""
+    from tbraymarcherplugin_tpu.ops import shearwarp as SW
+    from tbraymarcherplugin_tpu.ops.pallas_warp import warp_to_screen_fused
+    from tbraymarcherplugin_tpu.ops.shearwarp_grad import (
+        shearwarp_intermediate_fused_diff,
+    )
+    from tbraymarcherplugin_tpu.parallel import (
+        make_mesh, shearwarp_lit_sharded_diff,
+    )
+    from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, VolumeTransform
+
+    dims = (16, 16, 16)
+    W, H = 48, 32
+    vol = jnp.asarray(synthetic.ct_like_phantom(dims, seed=0))
+    lv = jnp.full(dims, 0.7, jnp.float32)
+    tf = T.tf_ct_bone()
+    cam = Camera.look_at([0.2, -2.3, 0.4], [0, 0, 0], fov_degrees=40.0)
+    tr = VolumeTransform.create()
+    plan = SW.plan_shearwarp(cam, tr, dims, dims, W, H, max_n=256, align=256)
+    assert plan is not None and plan.n2 % 256 == 0
+    mesh = make_mesh({"rays": 2, "aux": 4})  # 2-way column slabs
+    clip = ClipPlane.disabled()
+    win = jnp.asarray([0.45, 0.8, 1.0, 1.0], jnp.float32)
+    target = jnp.asarray(rng.random((H, W, 4), dtype=np.float32))
+
+    # forward-only render equals the single-device fused path
+    img_sh = np.asarray(shearwarp_lit_sharded_diff(
+        mesh, vol, tf, lv, plan, win, clip.center, clip.direction, W, H,
+    ))
+    inter = shearwarp_intermediate_fused_diff(
+        vol, tf, lv, plan, win, clip.center, clip.direction,
+    )
+    img_1 = np.asarray(warp_to_screen_fused(inter, plan, W, H))
+    np.testing.assert_allclose(img_sh, img_1, rtol=1e-5, atol=1e-6)
+
+    # loss + grads (computed inside the shard_map, psum over the axis)
+    ls, gs = shearwarp_lit_sharded_diff(
+        mesh, vol, tf, lv, plan, win, clip.center, clip.direction, W, H,
+        target=target,
+    )
+
+    def loss_single(v, t, w):
+        it = shearwarp_intermediate_fused_diff(
+            v, t, lv, plan, w, clip.center, clip.direction,
+        )
+        img = warp_to_screen_fused(it, plan, W, H)
+        return jnp.sum((img - target) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_single, argnums=(0, 1, 2))(
+        vol, tf, win
+    )
+    np.testing.assert_allclose(float(ls), float(l1), rtol=1e-5)
+    # psum of per-device partial sums reorders the f32 accumulation vs the
+    # single-device sequential sum — tolerance reflects that, not algebra
+    for name, a, b in zip(("dvol", "dtf", "dwin"), gs, g1):
+        b_ = np.asarray(b)
+        np.testing.assert_allclose(
+            np.asarray(a), b_, rtol=5e-3,
+            atol=1e-5 * max(np.abs(b_).max(), 1.0), err_msg=name,
+        )
