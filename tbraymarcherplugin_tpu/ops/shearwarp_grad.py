@@ -231,7 +231,8 @@ def _composite_bwd_kernel(
             term_f = jnp.maximum(term_f, crossed.astype(jnp.float32))
             return alpha, term_f
 
-        alpha, term_f = jax.lax.fori_loop(0, KB, k_body, (alpha, term_f))
+        alpha, term_f = jax.lax.fori_loop(0, KB, k_body, (alpha, term_f),
+                                          unroll=KB)
         return c + 1, alpha, term_f
 
     def s1_cond(state):
@@ -392,7 +393,8 @@ def _composite_bwd_kernel(
             V = (1.0 - a_eff) * V
             return U, V, hist, accdc, accdw
 
-        carry = jax.lax.fori_loop(0, KB, k_body, (U, V, hist, accdc, accdw))
+        carry = jax.lax.fori_loop(0, KB, k_body, (U, V, hist, accdc, accdw),
+                                  unroll=KB)
         copy_out(dwbuf, dw_hbm, dwsem, c).start()
         copy_out(dlbuf, dl_hbm, dlsem, c).start()
         copy_out(dwbuf, dw_hbm, dwsem, c).wait()

@@ -300,7 +300,7 @@ def _composite_kernel(
                 return rr, rg, rb, alpha, term_f
 
             return jax.lax.fori_loop(
-                0, KB, k_body, (rr, rg, rb, alpha, term_f)
+                0, KB, k_body, (rr, rg, rb, alpha, term_f), unroll=KB
             )
 
         occupied = occ_ref[c] != 0
