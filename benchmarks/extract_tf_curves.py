@@ -40,7 +40,24 @@ def main():
         os.path.basename(p)[:-7]: extract(p)
         for p in sorted(glob.glob(os.path.join(REF, "TF_CT-*.uasset")))
     }
-    print(f"extracted {len(out)} presets -> {OUT}")
+    # Re-bake the data module: emit the same compressed-base64 _RAW dict
+    # that tf_presets_data.py decodes (zlib of the 256x4 u8 row bytes).
+    with open(OUT) as f:
+        module = f.read()
+    head, _, tail = module.partition("_RAW = {")
+    _, _, tail = tail.partition("\n}\n")
+    entries = []
+    for name, row in sorted(out.items()):
+        b64 = base64.b64encode(
+            zlib.compress(row.astype(np.uint8).tobytes(), 9)
+        ).decode()
+        chunks = "\n".join(
+            f"        {b64[i:i + 72]!r}" for i in range(0, len(b64), 72)
+        )
+        entries.append(f"    {name!r}:\n{chunks}\n    ,")
+    with open(OUT, "w") as f:
+        f.write(head + "_RAW = {\n" + "\n".join(entries) + "\n}\n" + tail)
+    print(f"re-baked {len(out)} presets -> {OUT}")
 
 
 if __name__ == "__main__":

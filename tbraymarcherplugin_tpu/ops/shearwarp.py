@@ -264,11 +264,15 @@ def plan_shearwarp(
         n1 = max(align, int(n1 * scale) // align * align)
         n2 = max(align, int(n2 * scale) // align * align)
     if align >= 128:
-        # Quantize to 256-multiples so a zooming camera reuses jit variants
-        # (grid sizes are static: every new (n1, n2) is a fresh compile).
+        # Quantize so a zooming camera reuses jit variants (grid sizes are
+        # static: every new (n1, n2) is a fresh compile). Quantum is
+        # lcm(256, align), not 256: for align = 128*ncols with ncols not a
+        # power of two (multi-device column sharding, e.g. 384), a bare
+        # 256-ceil would break the align divisibility contract.
+        quantum = 256 * align // math.gcd(256, align)
         cap = max(align, max_n // align * align)
-        n1 = max(align, min(-(-n1 // 256) * 256, cap))
-        n2 = max(align, min(-(-n2 // 256) * 256, cap))
+        n1 = max(align, min(-(-n1 // quantum) * quantum, cap))
+        n2 = max(align, min(-(-n2 // quantum) * quantum, cap))
     d1 = (g1hi - g1lo) / n1
     d2 = (g2hi - g2lo) / n2
 

@@ -138,11 +138,16 @@ def _stock_presets():
 
 STOCK_TRANSFER_FUNCTIONS = {
     "grayscale": default_grayscale_tf,
-    "ct_bone": tf_ct_bone,
-    "ct_soft_tissue": tf_ct_soft_tissue,
     "rainbow": tf_rainbow,
-    # the reference's full curve library, e.g. "ct_lung", "ct_cardiac",
-    # "ct_mip", "ct_x_ray" (22 presets; see ops/tf_presets_data.py)
+    # Hand-built analytic approximations, kept under distinct names —
+    # the baked reference curves below DELIBERATELY own the plain
+    # "ct_bone"/"ct_soft_tissue" keys so the registry resolves to the
+    # reference's actual `TF_CT-*` tables.
+    "ct_bone_approx": tf_ct_bone,
+    "ct_soft_tissue_approx": tf_ct_soft_tissue,
+    # the reference's full curve library, e.g. "ct_bone", "ct_lung",
+    # "ct_cardiac", "ct_mip", "ct_x_ray" (22 presets;
+    # see ops/tf_presets_data.py)
     **_stock_presets(),
 }
 

@@ -54,6 +54,9 @@ class RendererConfig:
     - ``octree_mip``: which mip the octree renderer samples
       (`RaymarchVolume.h:191-193`).
     - ``jitter``: temporal entry-position jitter (`RaymarchMaterialCommon.usf:73`).
+      Default ON: all three reference materials call ``JitterEntryPos``
+      unconditionally (`WindowedRaymarchMaterials.usf:62,127,206`); set
+      False for deterministic cross-instance comparisons.
     """
 
     step_count: int = 150
@@ -61,7 +64,7 @@ class RendererConfig:
     light_volume_half_resolution: bool = False
     light_volume_32bit: bool = True
     octree_mip: int = 0
-    jitter: bool = False
+    jitter: bool = True
     early_termination: float = 0.95
     apply_write_threshold: bool = True
     compat_final_step: bool = True
@@ -361,10 +364,16 @@ class Renderer:
                           scene_depth=scene_depth)
         local_clip = self.transform.local_clip_plane(self.clip_plane)
         win = self.windowing.as_vec4()
-        jitter = None
-        if self.config.jitter:
-            jitter = jitter_values(width, height, self._frame_index)
+
+        def march_jitter():
+            # Lazy: the shear-warp paths compute their own grid-shaped
+            # jitter, so the march field is only built (and the temporal
+            # frame index only advanced) when the march actually renders.
+            if not self.config.jitter:
+                return None
+            j = jitter_values(width, height, self._frame_index)
             self._frame_index += 1
+            return j
 
         mode = self.config.render_mode
         if mode == "lit":
@@ -386,7 +395,7 @@ class Renderer:
                     log.debug(
                         "shear-warp unavailable this frame; using the march"
                     )
-            return self._render_lit(rays, win, local_clip, jitter)
+            return self._render_lit(rays, win, local_clip, march_jitter())
         if mode == "intensity":
             if self.config.march_impl in ("auto", "shearwarp") and (
                 jax.devices()[0].platform != "cpu"
@@ -398,7 +407,7 @@ class Renderer:
                     return img
             return M.march_intensity(
                 self.volume, rays, win, local_clip.center, local_clip.direction,
-                jitter=jitter, step_count=self.config.step_count,
+                jitter=march_jitter(), step_count=self.config.step_count,
             )
         if mode == "octree":
             if self.config.march_impl in ("auto", "shearwarp") and (
@@ -411,7 +420,7 @@ class Renderer:
                     return img
             return O.march_octree(
                 self.octree, self.tf_table, rays, win,
-                local_clip.center, local_clip.direction, jitter=jitter,
+                local_clip.center, local_clip.direction, jitter=march_jitter(),
                 step_count=self.config.step_count, mip=self.config.octree_mip,
                 early_termination=self.config.early_termination,
             )
@@ -464,12 +473,19 @@ class Renderer:
         key, plan, band_ok = self._sw_mode_cache
         if plan is None:
             return None
+        jitter = None
+        if self.config.jitter:
+            # Same per-pixel λ jitter as the lit fast path — the reference
+            # jitters the intensity march too (`JitterEntryPos` call in
+            # `WindowedRaymarchMaterials.usf:206`).
+            jitter = jitter_values(plan.n2, plan.n1, self._frame_index)
+            self._frame_index += 1
         inter = shearwarp_intermediate_fused(
             vol, self.tf_table, vol, plan, win,
             local_clip.center, local_clip.direction,
             early_termination=self.config.early_termination,
             mode="intensity" if mode == "intensity" else "unlit",
-            sample_nearest=(mode == "octree"),
+            sample_nearest=(mode == "octree"), jitter=jitter,
         )
         if band_ok:
             return warp_to_screen_fused(inter, plan, width, height)

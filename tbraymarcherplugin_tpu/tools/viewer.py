@@ -55,6 +55,8 @@ h3 { margin: 8px 0 2px; font-size: 14px; color: #8ad; }
   <div id="vinfo" style="font-size:12px;color:#999"></div>
   <h3>Transfer function</h3>
   <label>TF <select id="tf" onchange="upd({tf: this.value})"></select></label>
+  <label>save <input id="savepath" size="14" value="asset.npz">
+    <button onclick="saveAsset()">save</button></label>
   <h3>Windowing</h3>
   <label>center <input type="range" id="wc" min="0" max="1" step="0.002"
     oninput="upd({window_center: +this.value})"><span id="wcv"></span></label>
@@ -112,6 +114,14 @@ async function refresh() {
 async function upd(delta) {
   await fetch('/api/update', {method: 'POST', body: JSON.stringify(delta)});
   await syncState(); refresh();
+}
+async function saveAsset() {
+  const path = document.getElementById('savepath').value;
+  const r = await fetch('/api/save', {method: 'POST',
+    body: JSON.stringify({path})});
+  const j = await r.json();
+  document.getElementById('status').textContent =
+    j.error || ('saved ' + j.saved);
 }
 async function loadVolume() {
   const path = document.getElementById('path').value;
@@ -294,6 +304,22 @@ class ViewerState:
         self.renderer.set_volume(loaded.data, info=loaded.info)
         self.volume_label = f"{path} {loaded.info.dimensions}"
 
+    def save(self, path: str):
+        """Write the LIVE TF table + windowing back into an asset on disk —
+        the reference's save button (`TransferFuncMenu.h:21-105`) routing to
+        `SaveCurrentParamsToVolumeAsset` (`RaymarchVolume.cpp:579-594`)."""
+        import dataclasses
+
+        from ..io.volume_asset import VolumeAsset
+
+        r = self.renderer
+        info = dataclasses.replace(r.info, default_windowing=r.windowing)
+        VolumeAsset.create_transient(
+            np.asarray(r.volume), info=info,
+            tf_table=np.asarray(r.tf_table),
+        ).save(path)
+        return path if path.endswith(".npz") else path + ".npz"
+
     def frame_png(self, az, el, dist) -> bytes:
         import matplotlib
 
@@ -355,6 +381,10 @@ def make_handler(state: ViewerState):
                     with state.lock:
                         state.load(body["path"])
                     self._send(200, b"{}")
+                elif self.path == "/api/save":
+                    with state.lock:
+                        saved = state.save(body["path"])
+                    self._send(200, json.dumps({"saved": saved}).encode())
                 else:
                     self._send(404, b"{}")
             except Exception as e:  # surface errors to the UI status line

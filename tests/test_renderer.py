@@ -14,9 +14,24 @@ RAMP_TF = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0], [1, 1, 1, 1]])
 
 def make_renderer(**cfg):
     vol = synthetic.sphere_volume((16, 16, 16), radius=0.35)
+    # Jitter is default-ON (reference parity); these tests compare renders
+    # across instances/frames, so pin it off unless a test opts in.
+    cfg.setdefault("jitter", False)
     config = RendererConfig(step_count=32, **cfg)
     r = Renderer(vol, tf_table=RAMP_TF, config=config)
     return r
+
+
+def test_jitter_defaults_on():
+    # Reference parity: all three materials call JitterEntryPos
+    # unconditionally (`WindowedRaymarchMaterials.usf:62,127,206`).
+    assert RendererConfig().jitter is True
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    r = make_renderer(jitter=True)
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    img = np.asarray(r.render(cam, 12, 12))
+    assert img.shape == (12, 12, 4)
+    assert np.isfinite(img).all()
 
 
 def test_render_modes_produce_images():

@@ -125,6 +125,25 @@ def test_viewer_controls_drive_renderer(viewer_state):
     assert not np.allclose(img4, img3)
 
 
+def test_viewer_save_asset(viewer_state, tmp_path):
+    """`/api/save` analogue: live TF + windowing written back into the asset
+    (`RaymarchVolume.cpp:579-594`; save button `TransferFuncMenu.h:21-105`),
+    and the saved npz reloads with the edited values."""
+    from tbraymarcherplugin_tpu.io.volume_asset import VolumeAsset
+
+    s = viewer_state
+    s.update({"tf": "ct_bone", "window_center": 0.37, "window_width": 0.61})
+    path = s.save(str(tmp_path / "edited.npz"))
+    asset = VolumeAsset.load(path)
+    assert asset.tf_table is not None
+    np.testing.assert_allclose(
+        asset.tf_table, np.asarray(s.renderer.tf_table), atol=1e-7
+    )
+    assert abs(asset.info.default_windowing.center - 0.37) < 1e-6
+    assert abs(asset.info.default_windowing.width - 0.61) < 1e-6
+    assert asset.data.shape == tuple(s.renderer.volume.shape)
+
+
 def test_viewer_load_volume(viewer_state, tmp_path):
     dims = (12, 12, 12)
     v = np.full(dims, 30000, "<u2")
