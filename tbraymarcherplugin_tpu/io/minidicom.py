@@ -9,13 +9,16 @@ series-UID grouping, InstanceNumber ordering, pixel spacing, slice thickness,
 bits-allocated/pixel-representation, single- and multi-frame pixel data.
 
 Supported transfer syntaxes: Implicit VR Little Endian (1.2.840.10008.1.2),
-Explicit VR Little Endian (1.2.840.10008.1.2.1), and RLE Lossless
+Explicit VR Little Endian (1.2.840.10008.1.2.1), RLE Lossless
 (1.2.840.10008.1.2.5 — PS3.5 Annex G PackBits segments, decoded and encoded
-in pure numpy; the reference registers the matching DCMTK codec in
-`Private/VolumeTextureToolkit.cpp:24-67`). Lossy/DCT syntaxes (JPEG,
-JPEG-LS, JPEG2000) still raise a clear error: a faithful pure-Python DCT
-codec is out of scope — convert such series to MHD or install pydicom
-(which, when present, takes precedence in :mod:`.loaders`).
+in pure numpy), and JPEG Lossless process 14 (1.2.840.10008.1.2.4.70 SV1 —
+the common compressed-CT archive syntax — and .57; T.81 Huffman decode +
+cumsum-vectorized predictor reconstruction, SV1 encoder included). The
+reference registers the matching DCMTK codecs at module start
+(`Private/VolumeTextureToolkit.cpp:24-67`). Lossy/DCT syntaxes (JPEG
+baseline, JPEG-LS, JPEG2000) still raise a clear error: a faithful
+pure-Python DCT codec is out of scope — convert such series to MHD or
+install pydicom (which, when present, takes precedence in :mod:`.loaders`).
 
 API mirrors the pydicom subset the loader uses: :func:`dcmread` returning a
 :class:`Dataset` with keyword attribute access and ``pixel_array``.
@@ -32,6 +35,8 @@ import numpy as np
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"  # process 14, selection value 1
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"  # process 14, any predictor
 
 # Keyword -> (group, element, VR). Only the attributes the loader stack and
 # the fixture writer need.
@@ -85,6 +90,7 @@ class Dataset:
         self._elements: dict[tuple[int, int], Any] = {}
         self._pixel_data: Optional[bytes] = None
         self._rle_fragments: Optional[list] = None
+        self._jpeg_fragments: Optional[list] = None
 
     # -- element access ------------------------------------------------------
 
@@ -133,6 +139,16 @@ class Dataset:
                 _rle_decode_frame(f, rows, cols, bits)
                 for f in self._rle_fragments
             )
+        if self._pixel_data is None and self._jpeg_fragments is not None:
+            # JPEG Lossless (process 14): one codestream per frame
+            bits = int(self.get("BitsAllocated", 16))
+            frames = []
+            for f in self._jpeg_fragments:
+                dec = _jpeg_lossless_decode(f)
+                frames.append(
+                    dec.astype("<u1" if bits == 8 else "<u2").tobytes()
+                )
+            self._pixel_data = b"".join(frames)
         if self._pixel_data is None:
             raise AttributeError("dataset has no PixelData (header-only read?)")
         bits = int(self.get("BitsAllocated", 16))
@@ -266,6 +282,300 @@ def _rle_encode_frame(frame: np.ndarray) -> bytes:
     return header + b"".join(segs)
 
 
+# ---------------------------------------------------------------------------
+# JPEG Lossless codec (ITU-T T.81 process 14, first-order prediction).
+#
+# Transfer syntaxes 1.2.840.10008.1.2.4.70 (selection value 1 — the common
+# CT archive syntax) and .57 (any predictor). The reference registers the
+# matching DCMTK djp14 codec at module start
+# (`Private/VolumeTextureToolkit.cpp:24-67`). Pure numpy/Python: the only
+# sequential part is the Huffman entropy decode (a 16-bit-peek LUT loop);
+# the prediction reconstruction is vectorized — for SV1 the first column is
+# a downward cumsum and each row an across cumsum, and JPEG's modulo-65536
+# difference arithmetic distributes over the cumsum.
+
+
+def _huff_lut(counts, symbols):
+    """Canonical JPEG Huffman table -> 65536-entry (symbol, length) LUT."""
+    lut_sym = np.zeros(1 << 16, np.int32)
+    lut_len = np.zeros(1 << 16, np.int32)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            sym = symbols[k]
+            k += 1
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            lut_sym[lo:hi] = sym
+            lut_len[lo:hi] = ln
+            code += 1
+        code <<= 1
+    return lut_sym, lut_len
+
+
+class _BitReader:
+    """MSB-first bit reader over byte-unstuffed scan data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int):
+        while self.nbits < need:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        self.nbits -= n
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+
+def _extend(v: int, ssss: int) -> int:
+    if ssss == 0:
+        return 0
+    if v < (1 << (ssss - 1)):
+        return v - (1 << ssss) + 1
+    return v
+
+
+def _jpeg_lossless_decode(data: bytes) -> np.ndarray:
+    """One JPEG-lossless codestream -> (rows, cols) uint16 sample array."""
+    if data[:2] != b"\xff\xd8":
+        raise InvalidDicomError("JPEG fragment does not start with SOI")
+    pos = 2
+    tables = {}
+    precision = rows = cols = None
+    sv = pt = 0
+    table_id = 0
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise InvalidDicomError("JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xC3:  # SOF3: lossless sequential Huffman
+            precision, rows, cols, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if ncomp != 1:
+                raise InvalidDicomError(
+                    f"JPEG lossless: {ncomp} components (grayscale only)"
+                )
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise InvalidDicomError(
+                f"JPEG SOF{marker - 0xC0}: not a lossless (SOF3) stream"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                symbols = list(seg[p + 17:p + 17 + nsym])
+                tables[tc_th & 0x0F] = _huff_lut(counts, symbols)
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", seg, 0)
+            if ri:
+                raise InvalidDicomError(
+                    "JPEG lossless: restart intervals not supported"
+                )
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise InvalidDicomError("JPEG lossless: multi-component scan")
+            table_id = seg[2] >> 4
+            sv = seg[1 + 2 * ns]  # Ss = predictor selection value
+            pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if scan_start is None or precision is None:
+        raise InvalidDicomError("JPEG lossless: missing SOS/SOF3")
+    if table_id not in tables:
+        raise InvalidDicomError(f"JPEG lossless: no DHT table {table_id}")
+
+    # Byte-unstuff the entropy-coded scan (FF 00 -> FF; stop at any marker).
+    raw = data[scan_start:]
+    chunks = []
+    p = 0
+    while True:
+        ff = raw.find(b"\xff", p)
+        if ff < 0:
+            chunks.append(raw[p:])
+            break
+        nxt = raw[ff + 1] if ff + 1 < len(raw) else 0xD9
+        if nxt == 0x00:
+            chunks.append(raw[p:ff + 1])
+            p = ff + 2
+        else:  # a real marker terminates the scan
+            chunks.append(raw[p:ff])
+            break
+    scan = b"".join(chunks)
+
+    lut_sym, lut_len = tables[table_id]
+    lut_sym_l = lut_sym.tolist()
+    lut_len_l = lut_len.tolist()
+    br = _BitReader(scan)
+    n = rows * cols
+    diffs = np.empty(n, np.int32)
+    for i in range(n):
+        key = br.peek16()
+        ssss = lut_sym_l[key]
+        ln = lut_len_l[key]
+        if ln == 0:
+            raise InvalidDicomError("JPEG lossless: invalid Huffman code")
+        br.skip(ln)
+        if ssss == 16:
+            diffs[i] = 32768
+        else:
+            diffs[i] = _extend(br.read(ssss), ssss)
+
+    d = diffs.reshape(rows, cols).astype(np.int64)
+    init = 1 << (precision - pt - 1)
+    if sv == 1:
+        # Row 0 chains across from the default prediction; each later row's
+        # first sample predicts from the sample ABOVE (T.81 H.1.1), i.e.
+        # the first column chains downward — both are cumsums.
+        col0 = init + np.cumsum(d[:, 0])
+        out = col0[:, None] + np.concatenate(
+            [np.zeros((rows, 1), np.int64), np.cumsum(d[:, 1:], axis=1)],
+            axis=1,
+        )
+    elif sv == 2:
+        row0 = init + np.cumsum(d[0, :])
+        # First sample of each row still predicts from above (H.1.1), and
+        # predictor 2 is "above" everywhere: every column chains downward.
+        out = row0[None, :] + np.concatenate(
+            [np.zeros((1, cols), np.int64), np.cumsum(d[1:, :], axis=0)],
+            axis=0,
+        )
+    else:
+        # General predictors 3-7: sequential fallback (rare in DICOM).
+        out = np.zeros((rows, cols), np.int64)
+        for r in range(rows):
+            for c in range(cols):
+                if r == 0 and c == 0:
+                    px = init
+                elif r == 0:
+                    px = out[0, c - 1]
+                elif c == 0:
+                    px = out[r - 1, 0]
+                else:
+                    ra, rb, rc = out[r, c - 1], out[r - 1, c], out[r - 1, c - 1]
+                    px = {
+                        3: rc,
+                        4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1),
+                        6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[sv]
+                out[r, c] = px + d[r, c]
+    out = (out % 65536).astype(np.uint16)
+    if pt:
+        out = (out << pt).astype(np.uint16)
+    return out.reshape(rows, cols)
+
+
+_ENC_LENGTHS = (2, 2, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 16)
+
+
+def _enc_table():
+    """Fixed canonical table for categories 0..16: (code, length) per cat."""
+    counts = [0] * 16
+    for ln in _ENC_LENGTHS:
+        counts[ln - 1] += 1
+    order = sorted(range(17), key=lambda s: (_ENC_LENGTHS[s], s))
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[order[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return counts, order, codes
+
+
+def _jpeg_lossless_encode_frame(frame: np.ndarray, precision: int) -> bytes:
+    """(rows, cols) unsigned samples -> one SV1 JPEG-lossless codestream."""
+    arr = np.asarray(frame)
+    rows, cols = arr.shape
+    a = arr.astype(np.int64)
+    init = 1 << (precision - 1)
+    d = np.empty((rows, cols), np.int64)
+    d[:, 1:] = a[:, 1:] - a[:, :-1]
+    d[0, 0] = a[0, 0] - init
+    d[1:, 0] = a[1:, 0] - a[:-1, 0]
+    # modulo-65536 differences mapped to [-32768, 32767]
+    d = ((d + 32768) % 65536) - 32768
+
+    counts, order, codes = _enc_table()
+    mag = np.abs(d.reshape(-1))
+    ssss = np.zeros(mag.shape, np.int32)
+    nz = mag > 0
+    ssss[nz] = np.floor(np.log2(mag[nz])).astype(np.int32) + 1
+    flat = d.reshape(-1)
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, ln):
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+
+    for i in range(flat.size):
+        s = int(ssss[i])
+        v = int(flat[i])
+        if v == -32768:
+            put(*codes[16])
+            continue
+        put(*codes[s])
+        if s:
+            if v < 0:
+                v += (1 << s) - 1
+            put(v, s)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1-bits
+
+    dht_syms = bytes(order)
+    dht = struct.pack(">HB", 2 + 1 + 16 + len(dht_syms), 0x00)
+    dht += bytes(counts) + dht_syms
+    sof = struct.pack(">HBHHB", 8 + 3, precision, rows, cols, 1)
+    sof += bytes([1, 0x11, 0])  # component 1, 1x1 sampling, Tq=0
+    sos = struct.pack(">HB", 6 + 2, 1) + bytes([1, 0x00, 1, 0, 0])
+    return (b"\xff\xd8" + b"\xff\xc4" + dht + b"\xff\xc3" + sof
+            + b"\xff\xda" + sos + bytes(out) + b"\xff\xd9")
+
+
 def _parse_value(vr: str, raw: bytes) -> Any:
     if vr in _STR_VRS:
         s = raw.decode("ascii", errors="replace").rstrip("\x00 ").strip()
@@ -388,21 +698,27 @@ def dcmread(path: str, stop_before_pixels: bool = False) -> Dataset:
                 transfer_syntax = val
             ds._elements[tag] = val
 
-    if transfer_syntax not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE, RLE_LOSSLESS):
+    if transfer_syntax not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE, RLE_LOSSLESS,
+                               JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
         raise InvalidDicomError(
             f"{path}: compressed/unsupported transfer syntax {transfer_syntax}"
             " — convert to MHD or install pydicom"
         )
-    rle = transfer_syntax == RLE_LOSSLESS
+    encapsulated = transfer_syntax in (RLE_LOSSLESS, JPEG_LOSSLESS_SV1,
+                                       JPEG_LOSSLESS_P14)
     explicit = transfer_syntax != IMPLICIT_VR_LE
 
     pixel_tag = _DICT["PixelData"][:2]
     while pos + 8 <= len(buf):
-        if rle and pos + 4 <= len(buf) and struct.unpack_from(
+        if encapsulated and pos + 4 <= len(buf) and struct.unpack_from(
             "<HH", buf, pos
         ) == pixel_tag:
             if not stop_before_pixels:
-                ds._rle_fragments = _read_encapsulated(buf, pos + 4)[0]
+                frags = _read_encapsulated(buf, pos + 4)[0]
+                if transfer_syntax == RLE_LOSSLESS:
+                    ds._rle_fragments = frags
+                else:
+                    ds._jpeg_fragments = frags
             break
         tag, vr, raw, pos = _read_element(buf, pos, explicit)
         if tag == pixel_tag:
@@ -459,13 +775,14 @@ def _encode_element(group: int, elem: int, vr: str, value: Any) -> bytes:
 
 def write_dicom(path: str, elements: dict[str, Any],
                 pixel_data: Optional[np.ndarray] = None,
-                rle: bool = False) -> None:
+                rle: bool = False, jpeg_lossless: bool = False) -> None:
     """Write a Part-10 file from keyword->value elements.
 
     ``pixel_data`` is a (rows, cols) or (frames, rows, cols) integer array;
     Rows/Columns/BitsAllocated/PixelRepresentation/NumberOfFrames are derived
     from it when not given explicitly. ``rle=True`` writes RLE Lossless
-    (encapsulated PackBits frames) instead of Explicit VR LE.
+    (encapsulated PackBits frames); ``jpeg_lossless=True`` writes JPEG
+    Lossless SV1 (process 14) codestream frames instead of Explicit VR LE.
     """
     elements = dict(elements)
     if pixel_data is not None:
@@ -489,7 +806,9 @@ def write_dicom(path: str, elements: dict[str, Any],
          elements.get("SOPClassUID", "1.2.840.10008.5.1.4.1.1.2")),
         ("MediaStorageSOPInstanceUID",
          elements.get("SOPInstanceUID", "1.2.3.4.5")),
-        ("TransferSyntaxUID", RLE_LOSSLESS if rle else EXPLICIT_VR_LE),
+        ("TransferSyntaxUID",
+         RLE_LOSSLESS if rle
+         else JPEG_LOSSLESS_SV1 if jpeg_lossless else EXPLICIT_VR_LE),
         ("ImplementationClassUID", "1.2.826.0.1.3680043.8.498.1"),
     ]
     meta_body = b"".join(
@@ -506,13 +825,21 @@ def write_dicom(path: str, elements: dict[str, Any],
         out += _encode_element(g, e, vr, elements[kw])
 
     if pixel_data is not None:
-        if rle:
+        if rle or jpeg_lossless:
             frames = pixel_data if pixel_data.ndim == 3 else pixel_data[None]
             out += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
             out += struct.pack("<I", 0xFFFFFFFF)
             out += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
             for fr in frames:
-                frag = _rle_encode_frame(fr)
+                if jpeg_lossless:
+                    bits = int(elements.get(
+                        "BitsStored", fr.dtype.itemsize * 8
+                    ))
+                    frag = _jpeg_lossless_encode_frame(
+                        np.asarray(fr).astype(np.int64) & 0xFFFF, bits
+                    )
+                else:
+                    frag = _rle_encode_frame(fr)
                 if len(frag) % 2:
                     frag += b"\x00"
                 out += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag

@@ -233,7 +233,12 @@ def occluder_opacity_volume(
         # strided-slice taps of the volume with constant trilinear weights —
         # pure contiguous reads instead of a 16M-point scalarized gather
         # (the difference between ~1.3 s and ~1 ms per face at 256^3).
-        value = _const_shift_trilinear(volume, light_dims, uvw_offset)
+        # Differentiated callers get the selection-matmul formulation whose
+        # adjoint avoids full-volume scatters.
+        value = _const_shift_trilinear(
+            volume, light_dims, uvw_offset,
+            prefer_matmul=(tf_impl == "pallas_vjp"),
+        )
     else:
         value = trilinear_sample(volume, uvw)
     if tf_impl == "pallas":
@@ -260,7 +265,8 @@ def occluder_opacity_volume(
     return jnp.where(inside & (alpha_weight > 0.0), opacity * alpha_weight, 0.0)
 
 
-def _const_shift_trilinear(volume, light_dims, uvw_offset):
+def _const_shift_trilinear(volume, light_dims, uvw_offset,
+                           prefer_matmul=False):
     """Trilinear resample of ``volume`` at light-grid centers + constant UVW
     offset, for integer volume/light resolution ratios.
 
@@ -292,10 +298,13 @@ def _const_shift_trilinear(volume, light_dims, uvw_offset):
             )
         )
     fx, fy, fz = frac
-    if all(v == 1 for v in r):
-        # Full-resolution light volume: plain shifted slices (contiguous,
-        # fast); the conv below costs ~100 ms/face in layout conversions
-        # here while buying nothing.
+    if all(v == 1 for v in r) and not prefer_matmul:
+        # Full-resolution light volume, forward-only callers: plain shifted
+        # slices (contiguous, fast). Differentiated callers pass
+        # ``prefer_matmul=True``: the slices' adjoint is 8 full-volume
+        # dynamic-update-slice scatters per face (~21 ms/frame at 256^3,
+        # round-5 trace), while the selection-matmul chain below transposes
+        # into matmuls of the same cost as its forward.
         sizes = tuple(ld)
 
         def corner(dx, dy, dz):
@@ -326,12 +335,16 @@ def _const_shift_trilinear(volume, light_dims, uvw_offset):
             + (j[None, :] == (g + 1)[:, None]).astype(vp.dtype) * f
         )  # (ld, Vp)
 
+    # Differentiated callers (prefer_matmul) get full-f32 matmuls: the
+    # default TPU bf16 passes would round every occluder sample (and so
+    # every illumination gradient) to ~3 decimal digits.
+    prec = jax.lax.Precision.HIGHEST if prefer_matmul else None
     t = jnp.einsum("gx,xyz->gyz", sel(0), vp,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=prec)
     t = jnp.einsum("hy,gyz->ghz", sel(1), t,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=prec)
     return jnp.einsum("iz,ghz->ghi", sel(2), t,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
 
 
 class FacePropagationPlan(NamedTuple):

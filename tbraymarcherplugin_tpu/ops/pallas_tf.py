@@ -353,29 +353,43 @@ def _alpha_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
         axis=0,
     )
 
-    texel = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    # dTF histogram via the 4x64 segment/offset decomposition with merged
+    # lerp taps (same scheme as `shearwarp_grad._composite_bwd_kernel`,
+    # round 5): texel t = 64*s + o factors the dense 256-row one-hot —
+    # which measured ~30 ms/face at 256^3 — into a 4-row and a 64-row
+    # one-hot (the split that minimizes VPU build rows); the frac tap is a
+    # second weight set histogrammed at i0 and shifted +1 texel in the
+    # wrapper, with clamp-edge weight folded into set 0.
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+    in_rng = (i0f >= 0.0) & (i0f < 255.0)
+    wa = ga * jnp.where(in_rng, 1.0 - frac, 1.0)
+    wb = ga * jnp.where(in_rng, frac, 0.0)
+    s_idx = i0 >> 6
+    o_idx = i0 & 63
 
     def row_of(arr, r):
         return pltpu.roll(arr, -r, axis=0)[0:1, :]
 
     def hist_row(r, acc):
-        i0r = jnp.broadcast_to(row_of(i0, r), (256, 128))
-        i1r = jnp.broadcast_to(row_of(i1, r), (256, 128))
-        fr = jnp.broadcast_to(row_of(frac, r), (256, 128))
-        A = jnp.where(texel == i0r, 1.0 - fr, 0.0) + jnp.where(
-            texel == i1r, fr, 0.0
-        )
-        gw = jnp.reshape(row_of(ga, r), (128, 1))
+        s_r = jnp.broadcast_to(row_of(s_idx, r), (4, 128))
+        o_r = jnp.broadcast_to(row_of(o_idx, r), (64, 128))
+        S = jnp.where(iota4 == s_r, 1.0, 0.0)
+        O = jnp.where(iota64 == o_r, 1.0, 0.0)
+        L = jnp.concatenate([
+            S * jnp.broadcast_to(row_of(wa, r), (4, 128)),
+            S * jnp.broadcast_to(row_of(wb, r), (4, 128)),
+        ], axis=0)  # (8, 128): [set(2) x seg(4)]
         part = jax.lax.dot_general(
-            A, gw, dimension_numbers=(((1,), (0,)), ((), ())),
+            L, O, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (256, 1)
+        )  # (8, 64): [set*4 + s, o]
         return acc + part
 
     hist = jax.lax.fori_loop(
-        0, v.shape[0], hist_row, jnp.zeros((256, 1), jnp.float32)
+        0, v.shape[0], hist_row, jnp.zeros((8, 64), jnp.float32)
     )
-    acc_ref[0:256, 0:1] = acc_ref[0:256, 0:1] + hist
+    acc_ref[0:8, 0:64] = acc_ref[0:8, 0:64] + hist
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -440,8 +454,13 @@ def _alpha_vjp_bwd(interpret, res, g):
     )(_tf_scalars(windowing_vec4), _pack_tf(tf_table), flat, stepf, gpad)
 
     dvalues = dval.reshape(-1)[:n].reshape(shape)
+    # (8,64) [set*4 + s, o] -> (256,) per set; the frac-tap set belongs
+    # one texel higher (see kernel comment).
+    h1 = acc[0:4, 0:64].reshape(256)
+    h2 = acc[4:8, 0:64].reshape(256)
+    da = h1 + jnp.concatenate([jnp.zeros((1,), h2.dtype), h2[:-1]])
     dtf = jnp.concatenate(
-        [jnp.zeros((256, 3), jnp.float32), acc[0:256, 0:1]], axis=1
+        [jnp.zeros((256, 3), jnp.float32), da[:, None]], axis=1
     ).astype(tf_table.dtype)
     win = jnp.asarray(windowing_vec4, jnp.float32)
     dwin = jnp.stack([

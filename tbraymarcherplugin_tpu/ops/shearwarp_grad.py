@@ -67,7 +67,11 @@ from .shearwarp_pallas import (
 )
 
 
-_DISABLE_HIST = False  # benchmark ablation knob (never set in library code)
+import os as _os
+
+# Benchmark ablation knob (never set in library code). NOTE: read at trace
+# time and NOT part of the jit cache key — set via env in a fresh process.
+_DISABLE_HIST = bool(int(_os.environ.get("TBR_DISABLE_HIST", "0")))
 
 
 def _tf_taps(tfp, tf_pos):
@@ -120,6 +124,7 @@ def _composite_bwd_kernel(
     n_chunks,
     k_real,
     early_termination,
+    hist_dtype=jnp.float32,
 ):
     i0_ = pl.program_id(0) * 8
     j0_ = pl.program_id(1) * 128
@@ -343,51 +348,76 @@ def _composite_bwd_kernel(
             # dTF histogram via the 16x16 segment/offset decomposition:
             # texel t = 16*s + o, so the dense 256-row one-hot factors into
             # two 16-row one-hots and H[c,s,o] = sum_q S[s,q] w_c[q] O[o,q]
-            # — one (64,128) @ (16,128)^T MXU product per (row, tap)
-            # (lane-lane contraction lowers to a transposed matmul). ~2.5x
-            # fewer VPU ops than the 256-row build (PERF_R4.md ablation:
-            # the dense hist was 61% of this kernel). Skipped when every
-            # weight in the plane-tile is zero (terminated / masked /
-            # empty planes).
-            wmax = (
-                jnp.max(jnp.abs(ga)) + jnp.max(jnp.abs(ger))
-                + jnp.max(jnp.abs(geg)) + jnp.max(jnp.abs(geb))
-            )
+            # (lane-lane contraction = transposed MXU matmul). Round 5
+            # merges the TWO lerp taps into ONE pass over `ia`: tap ib is
+            # ia+1 wherever the lerp is unclamped, so its contribution is a
+            # second weight set H2 histogrammed at ia and shifted +1 texel
+            # OUTSIDE the kernel (`_vjp_bwd` reassembly); at the clamp
+            # edges (i0f < 0 or >= 255) both taps coincide, so the whole
+            # weight goes into H1 and H2 gets zero. Halves the one-hot
+            # builds and fuses the two (64,128) dots into one (128,128)
+            # dot per row (PERF_R4 ablation: the dense hist was 61% of
+            # this kernel; the two-tap 16x16 version still measured 92 of
+            # 141 ms in round 5). Skipped when every weight in the
+            # plane-tile is zero (terminated / masked / empty planes).
+            # Every histogram weight is proportional to gate * T, so one
+            # mul+max decides skippability (the earlier 4-reduction wmax
+            # spent ~10 ms/frame on the guard itself, and removing the
+            # guard entirely measured 116 -> 212 ms — ET leaves most
+            # plane-tiles zero-weight, the skip is the win).
+            wnz = jnp.max(gatef * Tk)
 
             def do_hist(h):
-                iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+                # 4x64 split (texel t = 64*s + o): the build cost of the
+                # factored one-hots scales as ~17*s + 256/s VPU rows per
+                # sample row, minimized near s=4 (~132 vs ~288 at the
+                # original 16x16) — the hist is build-bound, not MXU-bound
+                # (bf16 dot inputs measured neutral).
+                iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+                iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+                i0f_ = tf_pos * 256.0 - 0.5
+                in_rng = (i0f_ >= 0.0) & (i0f_ < 255.0)
+                wa = jnp.where(in_rng, 1.0 - frac, 1.0)
+                wb = jnp.where(in_rng, frac, 0.0)
+                s_idx = ia >> 6
+                o_idx = ia & 63
+                wts = (
+                    ger * wa, geg * wa, geb * wa, ga * wa,
+                    ger * wb, geg * wb, geb * wb, ga * wb,
+                )
+
+                probe = int(_os.environ.get("TBR_HIST_PROBE", "0"))
 
                 def row_of(arr, r):
+                    if probe == 1:  # timing probe: no cross-sublane rolls
+                        return arr[0:1, :]
                     return pltpu.roll(arr, -r, axis=0)[0:1, :]
 
-                def tap_rows(idx, wmul, h):
-                    s_idx = idx >> 4
-                    o_idx = idx & 15
-                    wts = (ger * wmul, geg * wmul, geb * wmul, ga * wmul)
+                def hist_row(r, acc):
+                    s_r = jnp.broadcast_to(row_of(s_idx, r), (4, 128))
+                    o_r = jnp.broadcast_to(row_of(o_idx, r), (64, 128))
+                    S = jnp.where(iota4 == s_r, 1.0, 0.0)
+                    O = jnp.where(iota64 == o_r, 1.0, 0.0)
+                    L = jnp.concatenate([
+                        S * jnp.broadcast_to(row_of(w, r), (4, 128))
+                        for w in wts
+                    ], axis=0)  # (32, 128): [set(2) x chan(4) x seg(4)]
+                    if probe == 2:  # timing probe: no MXU dot
+                        return acc + (jnp.sum(L) + jnp.sum(O))
+                    part = jax.lax.dot_general(
+                        L.astype(hist_dtype), O.astype(hist_dtype),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (32, 64): [set*16 + c*4 + s, o]
+                    return acc + part
 
-                    def hist_row(r, acc):
-                        s_r = jnp.broadcast_to(row_of(s_idx, r), (16, 128))
-                        o_r = jnp.broadcast_to(row_of(o_idx, r), (16, 128))
-                        S = jnp.where(iota16 == s_r, 1.0, 0.0)
-                        O = jnp.where(iota16 == o_r, 1.0, 0.0)
-                        L = jnp.concatenate([
-                            S * jnp.broadcast_to(row_of(w, r), (16, 128))
-                            for w in wts
-                        ], axis=0)  # (64, 128): channel-major blocks
-                        part = jax.lax.dot_general(
-                            L, O,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (64, 16): [c*16+s, o]
-                        return acc + part
-
-                    return jax.lax.fori_loop(0, 8, hist_row, h)
-
-                h = tap_rows(ia, 1.0 - frac, h)
-                return tap_rows(ib, frac, h)
+                # NOTE: do NOT unroll this row loop — unrolling a loop
+                # nested inside the already-unrolled k body crashes Mosaic
+                # (padding_cst assert, still reproducible in round 5).
+                return jax.lax.fori_loop(0, 8, hist_row, h)
 
             if not _DISABLE_HIST:  # ablation knob (benchmarks only)
-                hist = jax.lax.cond(wmax > 0.0, do_hist, lambda h: h, hist)
+                hist = jax.lax.cond(wnz > 0.0, do_hist, lambda h: h, hist)
 
             U = a_eff * P + (1.0 - a_eff) * U
             V = (1.0 - a_eff) * V
@@ -403,12 +433,12 @@ def _composite_bwd_kernel(
 
     init = (
         zero, jnp.ones((8, 128), jnp.float32),
-        jnp.zeros((64, 16), jnp.float32), zero, zero,
+        jnp.zeros((32, 64), jnp.float32), zero, zero,
     )
     _, _, hist, accdc, accdw = jax.lax.fori_loop(
         0, c_end - c_lo, s2_body, init
     )
-    acc_ref[0:64, 0:16] = acc_ref[0:64, 0:16] + hist
+    acc_ref[0:32, 0:64] = acc_ref[0:32, 0:64] + hist
     acc_ref[256:264, :] = acc_ref[256:264, :] + accdc
     acc_ref[264:272, :] = acc_ref[264:272, :] + accdw
 
@@ -504,6 +534,8 @@ def _vjp_bwd(cfg, res, g):
         n_chunks=nch,
         k_real=K,
         early_termination=early_termination,
+        hist_dtype=(jnp.bfloat16 if W.dtype == jnp.bfloat16
+                    else jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -549,10 +581,20 @@ def _vjp_bwd(cfg, res, g):
         grid_spec=grid_spec,
         interpret=interpret,
     )(bounds_geo, sc, pa, tfp, e1, step_world, gt, W, L)
-    # reassemble the (64,16) [c*16+s, o] layout back to (256, 4)
-    dtf = jnp.transpose(
-        acc[0:64, 0:16].reshape(4, 16, 16), (1, 2, 0)
-    ).reshape(256, 4).astype(tf_table.dtype)
+    # Reassemble the (32,64) [set*16 + c*4 + s, o] layout back to (256,4):
+    # set 0 is the floor-tap histogram at texel ia; set 1 is the frac-tap
+    # weight histogrammed at ia in-kernel, which belongs one texel HIGHER
+    # (ib = ia + 1 wherever the lerp is unclamped; clamp-edge weights were
+    # folded entirely into set 0).
+    def unpack(block):
+        return jnp.transpose(
+            block.reshape(4, 4, 64), (1, 2, 0)
+        ).reshape(256, 4)
+
+    h1 = unpack(acc[0:16, 0:64])
+    h2 = unpack(acc[16:32, 0:64])
+    dtf = (h1 + jnp.concatenate([jnp.zeros((1, 4), h2.dtype), h2[:-1]])
+           ).astype(tf_table.dtype)
     dwin = jnp.stack([
         jnp.sum(acc[256:264, :]),
         jnp.sum(acc[264:272, :]),
