@@ -226,10 +226,10 @@ def main() -> int:
                     inter = shearwarp_intermediate_fused(
                         p.volume, p.tf_table, lv, sw_plan, win_of(p),
                         clip.center, clip.direction,
-                        compute_dtype=jnp.bfloat16,
+                        compute_dtype=jnp.bfloat16, out_layout="chw",
                     )
                     return warp_to_screen_fused(
-                        inter, sw_plan, width, height
+                        inter, sw_plan, width, height, channel_major=True
                     )
 
                 return frame
@@ -449,9 +449,10 @@ def main() -> int:
                 inter = shearwarp_intermediate_fused(
                     p.volume, p.tf_table, p.volume, sw_plan, win_of(p),
                     clip.center, clip.direction, mode="intensity",
-                    compute_dtype=jnp.bfloat16,
+                    compute_dtype=jnp.bfloat16, out_layout="chw",
                 )
-                return warp_to_screen_fused(inter, sw_plan, width, height)
+                return warp_to_screen_fused(inter, sw_plan, width, height,
+                                            channel_major=True)
 
             oc = O.build_octree(params.volume, max_value=1.0)
             mip = oc.mips[0]
@@ -469,8 +470,10 @@ def main() -> int:
                     vol_oct, p.tf_table, vol_oct, oct_plan, win_of(p),
                     clip.center, clip.direction, mode="unlit",
                     sample_nearest=True, compute_dtype=jnp.bfloat16,
+                    out_layout="chw",
                 )
-                return warp_to_screen_fused(inter, oct_plan, width, height)
+                return warp_to_screen_fused(inter, oct_plan, width, height,
+                                            channel_major=True)
 
             # Intensity mode's first-hit samples are cube-face values whose
             # clamped windowing can be exactly constant under center shifts

@@ -91,7 +91,7 @@ def main():
             p, rays, clip.center, clip.direction, plans, dims,
             step_count=step_count, march_impl="shearwarp",
             shearwarp_plan=sw_plan, shearwarp_stop_early=False,
-            shearwarp_tf_unit="fused",
+            shearwarp_tf_unit="fused", shearwarp_dtype=jnp.bfloat16,
             illumination_scan_impl="pallas",
             illumination_tf_impl="pallas_vjp",
         )

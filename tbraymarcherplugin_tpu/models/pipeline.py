@@ -238,8 +238,10 @@ def render_lit_scene(
                 clip_direction,
                 early_termination=early_termination,
                 compute_dtype=shearwarp_dtype,
+                out_layout="chw",
             )
-            return warp_to_screen_fused(inter, shearwarp_plan, w, h)
+            return warp_to_screen_fused(inter, shearwarp_plan, w, h,
+                                        channel_major=True)
         if shearwarp_tf_unit == "fused":
             # North-star differentiable path: fused Pallas composite with
             # the hand-derived reverse-sweep backward (`ops/shearwarp_grad`)
@@ -259,11 +261,13 @@ def render_lit_scene(
                 clip_direction,
                 early_termination=early_termination,
                 compute_dtype=shearwarp_dtype,
+                out_layout="chw",
             )
             # banded warp with its custom scatter adjoint — the XLA warp's
             # take_along_axis backward (sort-based scatter) measured ~870 ms
             # of the 1.4 s fwd+bwd frame at 256^3/1080p
-            return warp_to_screen_fused(inter, shearwarp_plan, w, h)
+            return warp_to_screen_fused(inter, shearwarp_plan, w, h,
+                                        channel_major=True)
         else:
             inter = SWM.shearwarp_intermediate(
                 march_volume,

@@ -181,6 +181,149 @@ def propagate_face_scan_pallas(
 # treated as non-differentiable (zero gradient).
 
 
+def _scan_bwd_kernel(
+    sc_ref,  # SMEM (1, 3): off_px, off_py, light_alpha
+    g_hbm,  # ANY (K, Hp, Wp) per-slice output cotangents
+    op_hbm,  # ANY (K, Hp, Wp) occluder opacities
+    y_hbm,  # ANY (K, Hp, Wp) forward outputs
+    do_hbm,  # ANY out (K, Hp, Wp) d/d(opacity)
+    ms_ref,  # VMEM out (2, Hp, Wp): [sum_k m_k, m_0]
+    mcarry,  # VMEM (Hp, Wp) running m_k
+    msum,  # VMEM (Hp, Wp)
+    gbuf,  # VMEM (2, Hp, Wp)
+    obuf,
+    ybuf,
+    dobuf,
+    gsem,
+    osem,
+    ysem,
+    dosem,
+    *,
+    k_slices,
+    h_real,
+    w_real,
+):
+    """Reverse shift-scan adjoint of `_scan_kernel`, fused like the forward.
+
+    Round-5 trace: the XLA `lax.scan` adjoint cost ~15 ms/face at 256^3
+    (256 while-loop iterations of tiny (256,256) slice work — pure loop
+    overhead); this kernel is the same double-buffered VMEM-carry structure
+    as the forward, one launch per face.
+    """
+    offx = sc_ref[0, 0]
+    offy = sc_ref[0, 1]
+    alpha = sc_ref[0, 2]
+
+    def cin(hbm, buf, sem, k, slot):
+        return pltpu.make_async_copy(hbm.at[k], buf.at[slot], sem.at[slot])
+
+    def cout(k, slot):
+        return pltpu.make_async_copy(dobuf.at[slot], do_hbm.at[k], dosem.at[slot])
+
+    def sched_in(k, slot):
+        # inputs for processing slice k: g[k], op[k], y[k-1] (k=0: border)
+        cin(g_hbm, gbuf, gsem, k, slot).start()
+        cin(op_hbm, obuf, osem, k, slot).start()
+
+        @pl.when(k > 0)
+        def _():
+            cin(y_hbm, ybuf, ysem, k - 1, slot).start()
+
+    def wait_in(k, slot):
+        cin(g_hbm, gbuf, gsem, k, slot).wait()
+        cin(op_hbm, obuf, osem, k, slot).wait()
+
+        @pl.when(k > 0)
+        def _():
+            cin(y_hbm, ybuf, ysem, k - 1, slot).wait()
+
+        @pl.when(k == 0)
+        def _():
+            ybuf[slot] = jnp.full(ybuf.shape[1:], alpha, jnp.float32)
+
+    mcarry[:] = jnp.zeros(mcarry.shape, jnp.float32)
+    msum[:] = jnp.zeros(msum.shape, jnp.float32)
+    sched_in(k_slices - 1, (k_slices - 1) % 2)
+
+    def body(ki, _):
+        k = k_slices - 1 - ki
+        slot = k % 2
+
+        @pl.when(k - 1 >= 0)
+        def _():
+            sched_in(k - 1, (k - 1) % 2)
+
+        wait_in(k, slot)
+        lam = gbuf[slot] + _shift2d_border(
+            mcarry[:], -offx, -offy, 0.0, h_real, w_real
+        )
+        m = (1.0 - obuf[slot]) * lam
+        pre = _shift2d_border(ybuf[slot], offx, offy, alpha, h_real, w_real)
+
+        @pl.when(ki >= 2)
+        def _():
+            cout(k + 2, slot).wait()
+
+        dobuf[slot] = -pre * lam
+        cout(k, slot).start()
+        mcarry[:] = m
+        msum[:] = msum[:] + m
+        return 0
+
+    jax.lax.fori_loop(0, k_slices, body, 0)
+    if k_slices >= 2:
+        cout(1, 1 % 2).wait()
+    cout(0, 0).wait()
+    ms_ref[0] = msum[:]
+    ms_ref[1] = mcarry[:]
+
+
+def _scan_bwd_pallas(g, op, y, off_px, off_py, light_alpha, interpret):
+    K, H, W = (int(d) for d in op.shape)
+    Hp, Wp = max(8, _ceil_to(H, 8)), max(128, _ceil_to(W, 128))
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
+
+    sc = jnp.stack([
+        jnp.asarray(off_px, jnp.float32),
+        jnp.asarray(off_py, jnp.float32),
+        jnp.asarray(light_alpha, jnp.float32),
+    ]).reshape(1, 3)
+    kernel = partial(_scan_bwd_kernel, k_slices=K, h_real=H, w_real=W)
+    do, ms = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, Hp, Wp), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hp, Wp), jnp.float32),
+            pltpu.VMEM((Hp, Wp), jnp.float32),
+            pltpu.VMEM((2, Hp, Wp), jnp.float32),
+            pltpu.VMEM((2, Hp, Wp), jnp.float32),
+            pltpu.VMEM((2, Hp, Wp), jnp.float32),
+            pltpu.VMEM((2, Hp, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(sc, pad(jnp.asarray(g, jnp.float32)), pad(op), pad(y))
+    return do[:, :H, :W], ms[0, :H, :W], ms[1, :H, :W]
+
+
 def _propagate_scan_fwd(opacity_scan, off_px, off_py, light_alpha, interpret):
     y = _propagate_scan_prim(
         opacity_scan, off_px, off_py, light_alpha, interpret
@@ -194,31 +337,12 @@ def _propagate_scan_bwd(interpret, res, g):
     from .lighting import shift_2d_bilinear_border
 
     op, y, off_px, off_py, alpha = res
-    one_minus = 1.0 - op
-
-    def shiftT(x):  # A^T: negated offset, zero border
-        return shift_2d_bilinear_border(x, -off_px, -off_py, 0.0)
-
-    def shiftS(x):  # S with the true border
-        return shift_2d_bilinear_border(x, off_px, off_py, alpha)
-
-    # reverse scan for lam_k, plus pre_k recomputation from saved outputs
-    prev_c = jnp.concatenate(
-        [jnp.full((1,) + op.shape[1:], 1.0, op.dtype) * alpha, y[:-1]], axis=0
-    )
-
-    def step(carry, inp):
-        m_next = carry  # (1 - o_{k+1}) * lam_{k+1}
-        g_k, om_k, c_prev = inp
-        lam_k = g_k + shiftT(m_next)
-        m_k = om_k * lam_k
-        pre_k = shiftS(c_prev)
-        do_k = -pre_k * lam_k
-        return m_k, (do_k, m_k, lam_k)
-
-    m_init = jnp.zeros(op.shape[1:], op.dtype)
-    _, (do, m_all, lam_all) = jax.lax.scan(
-        step, m_init, (g, one_minus, prev_c), reverse=True
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    # Fused reverse shift-scan kernel (round 5): the XLA `lax.scan` adjoint
+    # here measured ~15 ms/face at 256^3, all while-loop overhead.
+    do, m_sum, m0 = _scan_bwd_pallas(
+        g, op, y, off_px, off_py, alpha, interpret
     )
 
     border_field = shift_2d_bilinear_border(
@@ -227,8 +351,7 @@ def _propagate_scan_bwd(interpret, res, g):
     a_ones = shift_2d_bilinear_border(
         jnp.ones(op.shape[1:], op.dtype), off_px, off_py, 0.0
     )
-    dalpha = jnp.sum(jnp.sum(m_all, axis=0) * border_field)
-    dalpha = dalpha + jnp.sum(m_all[0] * a_ones)
+    dalpha = jnp.sum(m_sum * border_field) + jnp.sum(m0 * a_ones)
     zero = jnp.zeros_like(jnp.asarray(off_px, op.dtype))
     return (do, zero, zero, dalpha)
 

@@ -12,6 +12,7 @@ cutoff semantics, same clamp, same step-size correction).
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
@@ -371,7 +372,7 @@ def _alpha_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
     def row_of(arr, r):
         return pltpu.roll(arr, -r, axis=0)[0:1, :]
 
-    def hist_row(r, acc):
+    def build_LO(r):
         s_r = jnp.broadcast_to(row_of(s_idx, r), (4, 128))
         o_r = jnp.broadcast_to(row_of(o_idx, r), (64, 128))
         S = jnp.where(iota4 == s_r, 1.0, 0.0)
@@ -380,15 +381,32 @@ def _alpha_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
             S * jnp.broadcast_to(row_of(wa, r), (4, 128)),
             S * jnp.broadcast_to(row_of(wb, r), (4, 128)),
         ], axis=0)  # (8, 128): [set(2) x seg(4)]
-        part = jax.lax.dot_general(
-            L, O, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (8, 64): [set*4 + s, o]
-        return acc + part
+        return L, O
 
-    hist = jax.lax.fori_loop(
-        0, v.shape[0], hist_row, jnp.zeros((8, 64), jnp.float32)
-    )
+    def hist_row8(i, acc):
+        # Four sample rows per MXU issue (block-diagonal; the off-diagonal
+        # blocks the MXU computes are discarded). The per-iteration fixed
+        # cost dominated this loop (hist = 14.4 of the kernel's 14.9 ms at
+        # 256^3 with per-row dots), and Mosaic crashes on any unroll here
+        # (signal 6, same failure class as the composite kernel's
+        # nested-unroll assert) — batching rows is the remaining lever.
+        parts = [build_LO(8 * i + j) for j in range(8)]
+        L8 = jnp.concatenate([p[0] for p in parts], axis=0)  # (64, 128)
+        O8 = jnp.concatenate([p[1] for p in parts], axis=0)  # (512, 128)
+        part = jax.lax.dot_general(
+            L8, O8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (64, 512): diagonal (8, 64) blocks are the eight row-hists
+        for j in range(8):
+            acc = acc + part[8 * j:8 * j + 8, 64 * j:64 * j + 64]
+        return acc
+
+    if int(_os.environ.get("TBR_ALPHA_PROBE", "0")) == 1:
+        hist = jnp.zeros((8, 64), jnp.float32)  # timing probe only
+    else:
+        hist = jax.lax.fori_loop(
+            0, v.shape[0] // 8, hist_row8, jnp.zeros((8, 64), jnp.float32)
+        )
     acc_ref[0:8, 0:64] = acc_ref[0:8, 0:64] + hist
 
 

@@ -31,42 +31,63 @@ def _ceil_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _band_kernel(idx_ref, rows_hbm, out_ref, band, sem, *, n_src):
+def _band_kernel(idx_ref, rows_hbm, out_ref, band, sem, *, n_src, strip):
+    """Strip of ``strip`` output sub-tiles per program with double-buffered
+    band DMAs: the one-tile-per-program version issued its band copy and
+    synchronously waited on it (~4400 serial DMA latencies ≈ half the
+    forward warp's 10.8 ms at 1080p, round-5 trace); here sub-tile t+1's
+    band streams while sub-tile t computes."""
     i0 = pl.program_id(0) * 8
-    idx = idx_ref[:]  # (8, 128) f32 source coordinates
-    # Lane-dim DMA slices must start 128-aligned (Mosaic tiling); widen the
-    # band by one register instead.
-    start = jnp.clip(
-        jnp.floor(jnp.min(idx)).astype(jnp.int32), 0, max(n_src - BAND, 0)
-    )
-    start = pl.multiple_of((start // 128) * 128, 128)
-    pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(i0, 8), pl.ds(start, BAND)], band, sem
-    ).start()
-    pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(i0, 8), pl.ds(start, BAND)], band, sem
-    ).wait()
 
-    # Exact _lerp_take semantics: i0 = floor(x) clipped so i0+1 stays in
-    # band, fr in [0, 1] (fr == 1 at the band's last texel reads it exactly
-    # via tap(1) — no epsilon shift of the top-edge lerp weight).
-    local = jnp.clip(idx - start.astype(jnp.float32), 0.0, float(BAND - 1))
-    l0 = jnp.clip(jnp.floor(local), 0.0, float(BAND - 2))
-    fr = jnp.clip(local - l0, 0.0, 1.0)
-    l0i = l0.astype(jnp.int32)
+    def start_of(idx):
+        # Lane-dim DMA slices must start 128-aligned (Mosaic tiling);
+        # widen the band by one register instead.
+        s = jnp.clip(
+            jnp.floor(jnp.min(idx)).astype(jnp.int32), 0,
+            max(n_src - BAND, 0)
+        )
+        return pl.multiple_of((s // 128) * 128, 128)
 
-    def tap(dl):
-        li = jnp.clip(l0i + dl, 0, BAND - 1)
-        lane = li & 127
-        seg = li >> 7
-        out = jnp.zeros((8, 128), jnp.float32)
-        b = band[:]
-        for s in range(BAND // 128):
-            g = jnp.take_along_axis(b[:, s * 128:(s + 1) * 128], lane, axis=1)
-            out = jnp.where(seg == s, g, out)
-        return out
+    def copy(idx_t, slot):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(i0, 8), pl.ds(start_of(idx_t), BAND)],
+            band.at[slot],
+            sem.at[slot],
+        )
 
-    out_ref[:] = tap(0) * (1.0 - fr) + tap(1) * fr
+    idx_tiles = [idx_ref[:, t * 128:(t + 1) * 128] for t in range(strip)]
+    copy(idx_tiles[0], 0).start()
+    for t in range(strip):
+        slot = t % 2
+        if t + 1 < strip:
+            copy(idx_tiles[t + 1], (t + 1) % 2).start()
+        copy(idx_tiles[t], slot).wait()
+        idx = idx_tiles[t]
+        start = start_of(idx)
+        # Exact _lerp_take semantics: l0 = floor(x) clipped so l0+1 stays
+        # in band, fr in [0, 1] (fr == 1 at the band's last texel reads it
+        # exactly via tap(1)).
+        local = jnp.clip(
+            idx - start.astype(jnp.float32), 0.0, float(BAND - 1)
+        )
+        l0 = jnp.clip(jnp.floor(local), 0.0, float(BAND - 2))
+        fr = jnp.clip(local - l0, 0.0, 1.0)
+        l0i = l0.astype(jnp.int32)
+
+        def tap(dl, _l0i=l0i, _slot=slot):
+            li = jnp.clip(_l0i + dl, 0, BAND - 1)
+            lane = li & 127
+            seg = li >> 7
+            out = jnp.zeros((8, 128), jnp.float32)
+            b = band[_slot]
+            for s in range(BAND // 128):
+                g = jnp.take_along_axis(
+                    b[:, s * 128:(s + 1) * 128], lane, axis=1
+                )
+                out = jnp.where(seg == s, g, out)
+            return out
+
+        out_ref[:, t * 128:(t + 1) * 128] = tap(0) * (1.0 - fr) + tap(1) * fr
 
 
 def _band_adjoint_kernel(idx_ref, g_ref, out_ref, *, n_src, np128):
@@ -110,14 +131,15 @@ def _band_adjoint_kernel(idx_ref, g_ref, out_ref, *, n_src, np128):
         )
 
 
-def _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret):
+def _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret, groups=1):
     """d_rows (Rp, Np) for padded inputs (see banded_row_lerp's padding)."""
+    nbi = (Rp // groups) // 8 if groups > 1 else Rp // 8
     out = pl.pallas_call(
         partial(_band_adjoint_kernel, n_src=Np, np128=Np // 128),
         out_shape=jax.ShapeDtypeStruct((Rp // 8, Np, 8), jnp.float32),
         grid=(Rp // 8, Qp // 128),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+            pl.BlockSpec((8, 128), lambda i, j: (i % nbi, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -129,21 +151,22 @@ def _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret):
     return jnp.transpose(out, (0, 2, 1)).reshape(Rp, Np)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def banded_row_lerp(rows: jnp.ndarray, idx: jnp.ndarray,
-                    interpret: bool | None = None) -> jnp.ndarray:
-    return _banded_row_lerp_fwd_impl(rows, idx, interpret)
+                    interpret: bool | None = None,
+                    groups: int = 1) -> jnp.ndarray:
+    return _banded_row_lerp_fwd_impl(rows, idx, interpret, groups)
 
 
-def _banded_row_lerp_vjp_fwd(rows, idx, interpret):
+def _banded_row_lerp_vjp_fwd(rows, idx, interpret, groups):
     # rows itself is not needed for the adjoint — save a 0-row probe that
     # carries N and the dtype statically through the residuals.
-    return _banded_row_lerp_fwd_impl(rows, idx, interpret), (
+    return _banded_row_lerp_fwd_impl(rows, idx, interpret, groups), (
         idx, rows[:0],
     )
 
 
-def _banded_row_lerp_vjp_bwd(interpret, res, g):
+def _banded_row_lerp_vjp_bwd(interpret, groups, res, g):
     """d_rows via the banded scatter kernel; idx is warp-plan geometry and
     carries no gradient (returns zeros — the callers never differentiate
     camera/homography parameters through the warp)."""
@@ -152,15 +175,20 @@ def _banded_row_lerp_vjp_bwd(interpret, res, g):
     rows_dtype = rows_probe.dtype
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    R, Q = (int(d) for d in idx.shape)
+    Ri, Q = (int(d) for d in idx.shape)
+    R = Ri * groups
     Rp, Qp, Np = _ceil_to(R, 8), _ceil_to(Q, 128), max(_ceil_to(N, 128), BAND)
+    if groups > 1:
+        assert Rp == R, (R, groups)  # callers pre-align groups to 8 rows
     idx_p = jnp.pad(
-        jnp.clip(idx, 0.0, float(N - 1)), ((0, Rp - R), (0, Qp - Q)),
+        jnp.clip(idx, 0.0, float(N - 1)),
+        ((0, Rp - R if groups == 1 else 0), (0, Qp - Q)),
         mode="edge",
     )
     # padded q columns correspond to sliced-off outputs: zero cotangent
     g_p = jnp.pad(g.astype(jnp.float32), ((0, Rp - R), (0, Qp - Q)))
-    d_rows = _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret)
+    d_rows = _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret,
+                                      groups)
     # fold the edge-padding of rows back: padded source texels [N, Np) were
     # edge copies read only via the band clamp; real reads never exceed
     # N - 1, so the pad region's cotangent is zero by construction.
@@ -170,40 +198,52 @@ def _banded_row_lerp_vjp_bwd(interpret, res, g):
 banded_row_lerp.defvjp(_banded_row_lerp_vjp_fwd, _banded_row_lerp_vjp_bwd)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "groups"))
 def _banded_row_lerp_fwd_impl(rows: jnp.ndarray, idx: jnp.ndarray,
-                              interpret: bool | None = None) -> jnp.ndarray:
-    """out[r, q] = lerp(rows[r], idx[r, q]) with clamp-to-edge — the Pallas
-    fast path for per-row monotone-band index arrays (see module docstring;
-    exactness oracle: `shearwarp._lerp_take`)."""
+                              interpret: bool | None = None,
+                              groups: int = 1) -> jnp.ndarray:
+    """out[r, q] = lerp(rows[r], idx[r % (R//groups), q]) with
+    clamp-to-edge — the Pallas fast path for per-row monotone-band index
+    arrays (see module docstring; exactness oracle: `shearwarp._lerp_take`).
+
+    ``groups > 1``: ``rows`` holds that many stacked channels sharing ONE
+    index array (shape (R // groups, Q)) — the warp's per-channel
+    `jnp.tile` of a 39 MB index field was pure HBM traffic; the kernel
+    re-reads the same idx block per channel via its BlockSpec instead."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     R, N = (int(d) for d in rows.shape)
     Rq, Q = (int(d) for d in idx.shape)
-    assert R == Rq, (R, Rq)
+    assert R == Rq * groups, (R, Rq, groups)
     Rp, Qp, Np = _ceil_to(R, 8), _ceil_to(Q, 128), max(_ceil_to(N, 128), BAND)
+    if groups > 1:
+        assert Rq % 8 == 0 and Rp == R, (Rq, R)
     rows_p = jnp.pad(rows, ((0, Rp - R), (0, Np - N)), mode="edge")
     # clamp-to-edge semantics of _lerp_take: clip indices to the REAL range.
     # Edge-mode padding keeps each tile's index band tight — zero padding
     # would drag a boundary tile's band start to 0 and clamp real indices.
     idx_p = jnp.pad(
-        jnp.clip(idx, 0.0, float(N - 1)), ((0, Rp - R), (0, Qp - Q)),
+        jnp.clip(idx, 0.0, float(N - 1)),
+        ((0, Rp - R if groups == 1 else 0), (0, Qp - Q)),
         mode="edge",
     )
+    nq = Qp // 128
+    strip = next(t for t in (8, 7, 6, 5, 4, 3, 2, 1) if nq % t == 0)
+    nbi = max(Rq // 8, 1) if groups > 1 else Rp // 8
     out = pl.pallas_call(
-        partial(_band_kernel, n_src=Np),
+        partial(_band_kernel, n_src=Np, strip=strip),
         out_shape=jax.ShapeDtypeStruct((Rp, Qp), jnp.float32),
-        grid=(Rp // 8, Qp // 128),
+        grid=(Rp // 8, nq // strip),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+            pl.BlockSpec((8, 128 * strip), lambda i, j: (i % nbi, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((8, 128 * strip), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, BAND), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 8, BAND), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(idx_p, rows_p)
@@ -270,16 +310,22 @@ def assert_warp_band(plan, width: int, height: int) -> None:
         )
 
 
-@partial(jax.jit, static_argnames=("width", "height", "interpret"))
+@partial(jax.jit, static_argnames=("width", "height", "interpret",
+                                   "channel_major"))
 def warp_to_screen_fused(
     intermediate: jnp.ndarray,
     plan,
     width: int,
     height: int,
     interpret: bool | None = None,
+    channel_major: bool = False,
 ) -> jnp.ndarray:
     """Drop-in fast version of :func:`.shearwarp.warp_to_screen`: identical
-    two-pass definition, gathers via :func:`banded_row_lerp`."""
+    two-pass definition, gathers via :func:`banded_row_lerp`.
+
+    ``channel_major=True`` accepts the composite kernel's raw (4, n1, n2)
+    layout (`shearwarp_intermediate_fused(out_layout="chw")`), skipping one
+    full-image relayout on each side of the interface."""
     p1r, p2r, pdr = plan.p1row, plan.p2row, plan.pdrow
     if plan.swap_warp:
         perm = jnp.asarray([1, 0, 2])
@@ -305,8 +351,12 @@ def warp_to_screen_fused(
     p1_s = (p1r[0] * u[:, None] + p1r[1] * v_star + p1r[2]) / den_s
     i_star = (p1_s - o1) / d1 - 0.5  # (W, n2)
 
-    C = intermediate.shape[-1]
-    I_t = jnp.transpose(intermediate, (2, 1, 0))  # (C, n2, n1)
+    if channel_major:
+        C = intermediate.shape[0]
+        I_t = jnp.transpose(intermediate, (0, 2, 1))  # (C, n2, n1)
+    else:
+        C = intermediate.shape[-1]
+        I_t = jnp.transpose(intermediate, (2, 1, 0))  # (C, n2, n1)
     idx1 = jnp.transpose(i_star, (1, 0))  # (n2, W)
     # Pad each channel's row block to a multiple of 8 BEFORE flattening:
     # the band kernel computes one DMA start per 8-row tile, so a tile must
@@ -317,8 +367,7 @@ def warp_to_screen_fused(
     I_p = jnp.pad(I_t, ((0, 0), (0, n2p - n2), (0, 0)), mode="edge")
     idx1p = jnp.pad(idx1, ((0, n2p - n2), (0, 0)), mode="edge")
     rows1 = I_p.reshape(C * n2p, n1)
-    idx1c = jnp.tile(idx1p, (C, 1))
-    M = banded_row_lerp(rows1, idx1c, interpret=interpret)
+    M = banded_row_lerp(rows1, idx1p, interpret=interpret, groups=C)
     M = M.reshape(C, n2p, -1)[:, :n2]  # (C, n2, W)
 
     den = pdr[0] * u[:, None] + pdr[1] * v[None, :] + pdr[2]
@@ -333,8 +382,7 @@ def warp_to_screen_fused(
     M_p = jnp.pad(M_t, ((0, 0), (0, Wp - W), (0, 0)), mode="edge")
     idx2p = jnp.pad(j_uv, ((0, Wp - W), (0, 0)), mode="edge")
     rows2 = M_p.reshape(C * Wp, n2)
-    idx2c = jnp.tile(idx2p, (C, 1))
-    S = banded_row_lerp(rows2, idx2c, interpret=interpret)
+    S = banded_row_lerp(rows2, idx2p, interpret=interpret, groups=C)
     S = S.reshape(C, Wp, H)[:, :W]  # (C, W, H)
 
     i_uv = (p1uv - o1) / d1 - 0.5

@@ -393,7 +393,7 @@ def _composite_bwd_kernel(
                         return arr[0:1, :]
                     return pltpu.roll(arr, -r, axis=0)[0:1, :]
 
-                def hist_row(r, acc):
+                def build_LO(r):
                     s_r = jnp.broadcast_to(row_of(s_idx, r), (4, 128))
                     o_r = jnp.broadcast_to(row_of(o_idx, r), (64, 128))
                     S = jnp.where(iota4 == s_r, 1.0, 0.0)
@@ -402,19 +402,31 @@ def _composite_bwd_kernel(
                         S * jnp.broadcast_to(row_of(w, r), (4, 128))
                         for w in wts
                     ], axis=0)  # (32, 128): [set(2) x chan(4) x seg(4)]
+                    return L, O
+
+                def hist_row2(i, acc):
+                    # Two rows per MXU issue, block-diagonal: the per-row
+                    # (32,128)@(64,128)^T dots were issue-bound (bf16
+                    # inputs measured neutral), so stack rows 2i and 2i+1
+                    # and discard the cross blocks the MXU computes free.
+                    La, Oa = build_LO(2 * i)
+                    Lb, Ob = build_LO(2 * i + 1)
+                    L2 = jnp.concatenate([La, Lb], axis=0)  # (64, 128)
+                    O2 = jnp.concatenate([Oa, Ob], axis=0)  # (128, 128)
                     if probe == 2:  # timing probe: no MXU dot
-                        return acc + (jnp.sum(L) + jnp.sum(O))
+                        return acc + (jnp.sum(L2) + jnp.sum(O2))
                     part = jax.lax.dot_general(
-                        L.astype(hist_dtype), O.astype(hist_dtype),
+                        L2.astype(hist_dtype), O2.astype(hist_dtype),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (32, 64): [set*16 + c*4 + s, o]
-                    return acc + part
+                    )  # (64, 128): diagonal blocks are the two row-hists
+                    return acc + part[0:32, 0:64] + part[32:64, 64:128]
 
-                # NOTE: do NOT unroll this row loop — unrolling a loop
+                # NOTE: do NOT unroll this row loop — any unroll of a loop
                 # nested inside the already-unrolled k body crashes Mosaic
-                # (padding_cst assert, still reproducible in round 5).
-                return jax.lax.fori_loop(0, 8, hist_row, h)
+                # (padding_cst assert; reproduced in round 5 at both 8 and
+                # 4 iterations).
+                return jax.lax.fori_loop(0, 4, hist_row2, h)
 
             if not _DISABLE_HIST:  # ablation knob (benchmarks only)
                 hist = jax.lax.cond(wnz > 0.0, do_hist, lambda h: h, hist)
@@ -465,7 +477,8 @@ def fused_composite(cfg, W, L, tf_table, windowing_vec4, step_world, e1,
 
 def _fwd_impl(cfg, W, L, tf_table, windowing_vec4, step_world, e1, e0, pa,
               occ, bounds_fwd):
-    n1, n2, K, Kp, early_termination, interpret, D1, D2 = cfg
+    n1, n2, K, Kp, early_termination, interpret, D1, D2 = cfg[:8]
+    chw = len(cfg) > 8 and cfg[8] == "chw"
     nch = Kp // KB
     sc = _scalar_row(windowing_vec4, e0, early_termination, D1, D2)
     tfp = _pack_tf(tf_table)
@@ -510,6 +523,8 @@ def _fwd_impl(cfg, W, L, tf_table, windowing_vec4, step_world, e1, e0, pa,
         grid_spec=grid_spec,
         interpret=interpret,
     )(occ, bounds_fwd, sc, pa, tfp, e1, step_world, jd, W, L)
+    if chw:
+        return out  # raw (4, n1, n2); adjoint takes the cotangent as-is
     return jnp.transpose(out, (1, 2, 0))
 
 
@@ -523,12 +538,13 @@ def _vjp_fwd(cfg, W, L, tf_table, windowing_vec4, step_world, e1, e0, pa,
 
 
 def _vjp_bwd(cfg, res, g):
-    n1, n2, K, Kp, early_termination, interpret, D1, D2 = cfg
+    n1, n2, K, Kp, early_termination, interpret, D1, D2 = cfg[:8]
+    chw = len(cfg) > 8 and cfg[8] == "chw"
     W, L, tf_table, windowing_vec4, step_world, e1, e0, pa, bounds_geo = res
     nch = Kp // KB
     sc = _scalar_row(windowing_vec4, e0, early_termination, D1, D2)
     tfp = _pack_tf(tf_table)
-    gt = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, n1, n2)
+    gt = (g if chw else jnp.transpose(g, (2, 0, 1))).astype(jnp.float32)
     kernel = partial(
         _composite_bwd_kernel,
         n_chunks=nch,
@@ -632,7 +648,8 @@ def _onehot_rows(idx, depth):
 
 @partial(
     jax.jit,
-    static_argnames=("early_termination", "compute_dtype", "interpret"),
+    static_argnames=("early_termination", "compute_dtype", "interpret",
+                     "out_layout"),
 )
 def shearwarp_intermediate_fused_diff(
     volume: jnp.ndarray,
@@ -645,8 +662,14 @@ def shearwarp_intermediate_fused_diff(
     early_termination: float = EARLY_TERMINATION_ALPHA,
     compute_dtype=jnp.float32,
     interpret: bool | None = None,
+    out_layout: str = "hwc",
 ) -> jnp.ndarray:
     """Differentiable fused shear-warp composite -> (n1, n2, 4).
+
+    ``out_layout="chw"`` keeps the kernel's raw (4, n1, n2) layout (and its
+    adjoint consumes the cotangent in the same layout) — pairs with
+    `warp_to_screen_fused(channel_major=True)` to drop a full-image
+    relayout from BOTH the forward and the backward.
 
     Same algorithm/output as `shearwarp_intermediate_fused`; gradients flow
     to volume, tf_table, windowing and light_volume through the custom-VJP
@@ -717,7 +740,7 @@ def shearwarp_intermediate_fused_diff(
     pa = _plane_param_array(plan, Kp)
 
     cfg = (n1, n2, K, Kp, float(early_termination), bool(interpret),
-           float(D1), float(D2))
+           float(D1), float(D2), out_layout)
     return fused_composite(
         cfg, W, L, tf_table, jnp.asarray(windowing_vec4, jnp.float32),
         step_world, e1, e0, pa, occ, bounds_fwd, bounds_geo,

@@ -346,6 +346,7 @@ def _composite_kernel(
         "debug_no_skip",
         "mode",
         "sample_nearest",
+        "out_layout",
     ),
 )
 def shearwarp_intermediate_fused(
@@ -364,8 +365,15 @@ def shearwarp_intermediate_fused(
     depth_lam: jnp.ndarray | None = None,
     mode: str = "lit",
     sample_nearest: bool = False,
+    out_layout: str = "hwc",
 ) -> jnp.ndarray:
     """Fused-fast shear-warp composite -> (n1, n2, 4).
+
+    ``out_layout="chw"`` returns the kernel's raw (4, n1, n2) layout
+    instead — `warp_to_screen_fused(channel_major=True)` consumes it
+    directly, skipping one full-image relayout on each side (round-5
+    trace: the hwc transpose + the warp's re-transpose were ~2-3 ms each
+    at 1280^2x4).
 
     ``mode``: "lit" (default), "unlit" (octree-style composite without the
     light stream, `WindowedRaymarchMaterials.usf:99-183`) or "intensity"
@@ -516,4 +524,6 @@ def shearwarp_intermediate_fused(
         grid_spec=grid_spec,
         interpret=interpret,
     )(occ, bounds, sc, pa, tfp, e1, step_world, jd, W, L)
+    if out_layout == "chw":
+        return out  # raw kernel layout (4, n1, n2); see docstring
     return jnp.transpose(out, (1, 2, 0))

@@ -486,9 +486,11 @@ class Renderer:
             early_termination=self.config.early_termination,
             mode="intensity" if mode == "intensity" else "unlit",
             sample_nearest=(mode == "octree"), jitter=jitter,
+            out_layout="chw" if band_ok else "hwc",
         )
         if band_ok:
-            return warp_to_screen_fused(inter, plan, width, height)
+            return warp_to_screen_fused(inter, plan, width, height,
+                                        channel_major=True)
         return SW.warp_to_screen(inter, plan, width, height)
 
     def _render_shearwarp(self, camera, width, height, win, local_clip,
@@ -556,9 +558,11 @@ class Renderer:
                 win, local_clip.center, local_clip.direction,
                 early_termination=self.config.early_termination,
                 jitter=jitter, depth_lam=depth_lam,
+                out_layout="chw" if self._sw_band_ok else "hwc",
             )
             if self._sw_band_ok:
-                return warp_to_screen_fused(inter, plan, width, height)
+                return warp_to_screen_fused(inter, plan, width, height,
+                                            channel_major=True)
             return SW.warp_to_screen(inter, plan, width, height)
         if self.config.jitter or scene_depth is not None:
             # the CPU shear-warp path has no jitter/depth variant; let the
