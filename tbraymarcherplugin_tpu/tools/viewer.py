@@ -174,7 +174,8 @@ syncState().then(refresh);
 class ViewerState:
     """Server-side scene state; every mutation goes through Renderer setters."""
 
-    def __init__(self, volume_path=None, image_size=512):
+    def __init__(self, volume_path=None, image_size=512,
+                 synthetic_dims=(128, 128, 128)):
         from ..ops import synthetic
         from ..ops.transfer import default_grayscale_tf
         from ..renderer import Renderer, RendererConfig
@@ -186,7 +187,9 @@ class ViewerState:
         self.light_az, self.light_el, self.light_intensity = 30.0, 40.0, 1.0
         self.clip_enabled = False
         self.clip_offset, self.clip_yaw, self.clip_pitch = 0.5, 0.0, 0.0
-        self.volume_label = "synthetic phantom 128^3"
+        self.volume_label = (
+            f"synthetic phantom {synthetic_dims[0]}^3"
+        )
 
         if volume_path:
             from ..io import load_volume
@@ -195,7 +198,7 @@ class ViewerState:
             data, info = loaded.data, loaded.info
             self.volume_label = f"{volume_path} {info.dimensions}"
         else:
-            data, info = synthetic.ct_like_phantom((128, 128, 128), seed=0), None
+            data, info = synthetic.ct_like_phantom(synthetic_dims, seed=0), None
         self.renderer = Renderer(
             data, info=info, tf_table=default_grayscale_tf(),
             config=RendererConfig(light_volume_half_resolution=True),

@@ -25,6 +25,20 @@ import jax  # noqa: E402
 # suite silently compiles over the TPU tunnel (slow, single-device).
 jax.config.update("jax_platforms", "cpu")
 
+# Shared persistent compilation cache: the fast tier is compile-bound on
+# small CI boxes, and parallel xdist workers otherwise compile many
+# IDENTICAL programs (same kernels/shapes split across workers). The cache
+# dedupes across workers within one cold run and makes re-runs much faster.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_test_cache",
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs: compile as before
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -22,7 +22,7 @@ NO_CLIP = ClipPlane.disabled()
 RAMP_TF = T.tf_from_keypoints([0, 1], [[0, 0, 0, 0], [1, 1, 1, 1]])
 
 
-def _scene(vol_dims=(33, 28, 17), light_dims=(16, 14, 8), img=(64, 64)):
+def _scene(vol_dims=(33, 28, 17), light_dims=(16, 14, 8), img=(40, 40)):
     volume = synthetic.sphere_volume(vol_dims, radius=0.4)
     lv = jnp.asarray(
         np.random.default_rng(7).random(light_dims, np.float32)
@@ -33,7 +33,7 @@ def _scene(vol_dims=(33, 28, 17), light_dims=(16, 14, 8), img=(64, 64)):
 
 
 def _both(volume, lv, rays, win, clip, tf=RAMP_TF, jitter=None,
-          step_count=48, **kw):
+          step_count=24, **kw):
     want = np.asarray(
         M.march_lit(
             volume, tf, lv, rays, win, clip.center, clip.direction,
@@ -152,7 +152,9 @@ def test_swizzle_roundtrip():
 
 
 def test_footprint_guard():
-    volume, lv, rays = _scene()
+    # Window-fit depends on ray spacing: pin the resolution this guard was
+    # calibrated at (the default fast-tier scene is smaller).
+    volume, lv, rays = _scene(img=(64, 64))
     # The standard test scene fits; the same scene at 1/4 resolution with
     # few steps does not.
     assert PM.fits_pallas_window(rays, volume.shape, 48)

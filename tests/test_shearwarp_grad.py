@@ -19,8 +19,11 @@ from tbraymarcherplugin_tpu.ops.shearwarp_grad import (
 )
 from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, VolumeTransform
 
-DIMS = (32, 32, 32)
-W, H = 96, 64
+# Interpret-mode Pallas scales with n1*n2*K: this scene keeps every code
+# path (windowing cutoffs, ET, clip, both sweeps, histograms) while fitting
+# the fast tier's budget; the slow tier runs the larger-scene variants.
+DIMS = (24, 24, 24)
+W, H = 64, 48
 
 
 def _scene(cam_pos=(0.1, -2.3, 0.4)):
@@ -32,7 +35,7 @@ def _scene(cam_pos=(0.1, -2.3, 0.4)):
     tf = T.tf_ct_bone()
     cam = Camera.look_at(list(cam_pos), [0.0, 0.0, 0.0], fov_degrees=40.0)
     tr = VolumeTransform.create()
-    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=128)
+    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=64)
     assert plan is not None
     return vol, lv, tf, plan
 

@@ -12,8 +12,10 @@ from tbraymarcherplugin_tpu.ops.shearwarp_pallas import (
 )
 from tbraymarcherplugin_tpu.scene import Camera, ClipPlane, VolumeTransform
 
-DIMS = (32, 32, 32)
-W, H = 96, 64
+# Interpret-mode Pallas scales with n1*n2*K — sized for the fast tier's
+# budget; every feature (ESS, ET, clip, jitter, depth, modes) still runs.
+DIMS = (24, 24, 24)
+W, H = 64, 48
 
 
 def _scene(cam_pos=(0.1, -2.3, 0.4)):
@@ -26,7 +28,7 @@ def _scene(cam_pos=(0.1, -2.3, 0.4)):
     cam = Camera.look_at(list(cam_pos), [0.0, 0.0, 0.0], fov_degrees=40.0)
     tr = VolumeTransform.create()
     win = jnp.asarray([0.45, 0.7, 1.0, 1.0], jnp.float32)
-    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=128)
+    plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, W, H, max_n=64)
     assert plan is not None
     return vol, lv, tf, plan, win
 
@@ -173,7 +175,7 @@ def test_warp_fused_non_multiple_of_8_sizes(rng):
     )
     tr = VolumeTransform.create()
     for Wo, Ho in ((93, 61), (100, 52)):
-        plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, Wo, Ho, max_n=128)
+        plan = SW.plan_shearwarp(cam, tr, DIMS, DIMS, Wo, Ho, max_n=64)
         assert plan is not None
         inter = jnp.asarray(
             rng.random((plan.n1, plan.n2, 4), dtype=np.float32)

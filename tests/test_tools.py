@@ -78,7 +78,8 @@ def test_render_cli_unknown_tf_errors(mhd_volume, tmp_path):
 
 @pytest.fixture(scope="module")
 def viewer_state():
-    s = ViewerState(volume_path=None, image_size=32)
+    s = ViewerState(volume_path=None, image_size=32,
+                    synthetic_dims=(32, 32, 32))
     s.renderer.config.step_count = 16
     s.renderer.config.march_impl = "blocked"
     return s
