@@ -687,27 +687,34 @@ def shearwarp_intermediate_fused_diff(
     nch = Kp // KB
 
     ax = (plan.axis,) + plan.axes12
-    vol_t = jnp.transpose(volume, ax)
-    light_t = jnp.transpose(light_volume, ax)
+    # Fold the slab transpose into the einsum subscripts: materializing
+    # transpose(volume, ax) was a 64 MB relayout per field per frame
+    # (plus its adjoint in the backward); the contraction handles the
+    # layout inside the matmul lowering instead.
+    sub = ["", "", ""]
+    sub[plan.axis] = "d"
+    sub[plan.axes12[0]] = "a"
+    sub[plan.axes12[1]] = "b"
+    spec = f"kd,{''.join(sub)}->kab"
 
-    Pv = _onehot_rows(plan.m_src, vol_t.shape[0])  # (K, D)
+    Pv = _onehot_rows(plan.m_src, volume.shape[plan.axis])  # (K, D)
     if plan.mfrac is not None:
         Pv = (
             Pv * (1.0 - plan.mfrac[:, None])
-            + _onehot_rows(plan.msrc_hi, vol_t.shape[0])
+            + _onehot_rows(plan.msrc_hi, volume.shape[plan.axis])
             * plan.mfrac[:, None]
         )
     vplanes = jnp.einsum(
-        "kd,dab->kab", Pv, vol_t, preferred_element_type=jnp.float32
+        spec, Pv, volume, preferred_element_type=jnp.float32
     )
-    LD = light_t.shape[0]
+    LD = light_volume.shape[plan.axis]
     lm0_hi = jnp.minimum(plan.lm0 + 1, LD - 1)
     Sel = (
         _onehot_rows(plan.lm0, LD) * (1.0 - plan.lmt[:, None])
         + _onehot_rows(lm0_hi, LD) * plan.lmt[:, None]
     )
     lplanes = jnp.einsum(
-        "kd,dab->kab", Sel, light_t, preferred_element_type=jnp.float32
+        spec, Sel, light_volume, preferred_element_type=jnp.float32
     )
 
     W = SW._resample_block(

@@ -184,7 +184,10 @@ def test_warp_fused_non_multiple_of_8_sizes(rng):
         got = np.asarray(
             warp_to_screen_fused(inter, plan, Wo, Ho, interpret=True)
         )
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # atol: the fused path computes its index fields natively in
+        # (n2, W) orientation (round 5), so the f32 association differs
+        # slightly from the oracle's (W, n2)-then-transpose order.
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-5)
 
 
 def test_warp_band_guard():
