@@ -140,11 +140,19 @@ class Dataset:
                 for f in self._rle_fragments
             )
         if self._pixel_data is None and self._jpeg_fragments is not None:
-            # JPEG Lossless (process 14): one codestream per frame
+            # JPEG Lossless (process 14). PS3.5 A.4 allows one frame's
+            # codestream to span several fragments: start a new stream at
+            # each SOI marker, append continuation fragments to the open one.
             bits = int(self.get("BitsAllocated", 16))
-            frames = []
+            streams = []
             for f in self._jpeg_fragments:
-                dec = _jpeg_lossless_decode(f)
+                if f[:2] == b"\xff\xd8" or not streams:
+                    streams.append(bytes(f))
+                else:
+                    streams[-1] += bytes(f)
+            frames = []
+            for s in streams:
+                dec = _jpeg_lossless_decode(s)
                 frames.append(
                     dec.astype("<u1" if bits == 8 else "<u2").tobytes()
                 )
