@@ -45,10 +45,9 @@ def main():
     )
     lv = jnp.ones(dims, jnp.float32) * 0.7
 
-    def run_case(dtype, hist, k=args.k):
+    def run_case(dtype, k=args.k):
         # hist on/off is controlled by TBR_DISABLE_HIST in a FRESH process
-        # (trace-time global, not in the jit key); `hist` only labels rows.
-        hist = not G._DISABLE_HIST
+        # (trace-time global, not part of the jit cache key).
 
         def one(c):
             win = jnp.stack([c, jnp.float32(0.8), jnp.float32(1.0),
@@ -79,7 +78,7 @@ def main():
 
     for dtype in (jnp.float32, jnp.bfloat16):
         try:
-            ms, ok, chk = run_case(dtype, True)
+            ms, ok, chk = run_case(dtype)
             print(f"dtype={jnp.dtype(dtype).name:9s} "
                   f"hist={not G._DISABLE_HIST!s:5s} "
                   f"-> {ms:8.2f} ms/frame  checksums_ok={ok} "

@@ -399,7 +399,10 @@ def _jpeg_lossless_decode(data: bytes) -> np.ndarray:
                 counts = list(seg[p + 1:p + 17])
                 nsym = sum(counts)
                 symbols = list(seg[p + 17:p + 17 + nsym])
-                tables[tc_th & 0x0F] = _huff_lut(counts, symbols)
+                # Lossless scans reference DC-class (Tc=0) tables only; a
+                # same-id AC table in the same DHT block must not clobber.
+                if (tc_th >> 4) == 0:
+                    tables[tc_th & 0x0F] = _huff_lut(counts, symbols)
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", seg, 0)
@@ -840,6 +843,12 @@ def write_dicom(path: str, elements: dict[str, Any],
             out += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
             for fr in frames:
                 if jpeg_lossless:
+                    if fr.dtype.itemsize > 2:
+                        raise InvalidDicomError(
+                            "JPEG lossless supports at most 16-bit "
+                            f"samples; got {fr.dtype} — use rle=True or "
+                            "uncompressed for wider data"
+                        )
                     bits = int(elements.get(
                         "BitsStored", fr.dtype.itemsize * 8
                     ))

@@ -12,7 +12,6 @@ cutoff semantics, same clamp, same step-size correction).
 
 from __future__ import annotations
 
-import os as _os
 from functools import partial
 
 import jax
@@ -401,12 +400,9 @@ def _alpha_bwd_kernel(sc_ref, tf_ref, val_ref, step_ref, g_ref,
             acc = acc + part[8 * j:8 * j + 8, 64 * j:64 * j + 64]
         return acc
 
-    if int(_os.environ.get("TBR_ALPHA_PROBE", "0")) == 1:
-        hist = jnp.zeros((8, 64), jnp.float32)  # timing probe only
-    else:
-        hist = jax.lax.fori_loop(
-            0, v.shape[0] // 8, hist_row8, jnp.zeros((8, 64), jnp.float32)
-        )
+    hist = jax.lax.fori_loop(
+        0, v.shape[0] // 8, hist_row8, jnp.zeros((8, 64), jnp.float32)
+    )
     acc_ref[0:8, 0:64] = acc_ref[0:8, 0:64] + hist
 
 

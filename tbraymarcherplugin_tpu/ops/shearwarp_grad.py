@@ -68,10 +68,18 @@ from .shearwarp_pallas import (
 
 
 import os as _os
+import sys as _sys
 
 # Benchmark ablation knob (never set in library code). NOTE: read at trace
 # time and NOT part of the jit cache key — set via env in a fresh process.
+# Loud on purpose: with the histogram disabled, dTF gradients are ZERO.
 _DISABLE_HIST = bool(int(_os.environ.get("TBR_DISABLE_HIST", "0")))
+if _DISABLE_HIST:
+    print(
+        "WARNING: TBR_DISABLE_HIST is set — the shear-warp composite "
+        "backward will emit ZERO dTF gradients (benchmark ablation only)",
+        file=_sys.stderr,
+    )
 
 
 def _tf_taps(tfp, tf_pos):
@@ -124,7 +132,6 @@ def _composite_bwd_kernel(
     n_chunks,
     k_real,
     early_termination,
-    hist_dtype=jnp.float32,
 ):
     i0_ = pl.program_id(0) * 8
     j0_ = pl.program_id(1) * 128
@@ -386,11 +393,7 @@ def _composite_bwd_kernel(
                     ger * wb, geg * wb, geb * wb, ga * wb,
                 )
 
-                probe = int(_os.environ.get("TBR_HIST_PROBE", "0"))
-
                 def row_of(arr, r):
-                    if probe == 1:  # timing probe: no cross-sublane rolls
-                        return arr[0:1, :]
                     return pltpu.roll(arr, -r, axis=0)[0:1, :]
 
                 def build_LO(r):
@@ -405,18 +408,17 @@ def _composite_bwd_kernel(
                     return L, O
 
                 def hist_row2(i, acc):
-                    # Two rows per MXU issue, block-diagonal: the per-row
-                    # (32,128)@(64,128)^T dots were issue-bound (bf16
-                    # inputs measured neutral), so stack rows 2i and 2i+1
-                    # and discard the cross blocks the MXU computes free.
+                    # Two rows per MXU issue, block-diagonal: stack rows 2i
+                    # and 2i+1 and discard the cross blocks the MXU
+                    # computes free. Dot inputs stay f32 — bf16 inputs
+                    # measured neutral for speed, so casting the gradient
+                    # weights would only round them.
                     La, Oa = build_LO(2 * i)
                     Lb, Ob = build_LO(2 * i + 1)
                     L2 = jnp.concatenate([La, Lb], axis=0)  # (64, 128)
                     O2 = jnp.concatenate([Oa, Ob], axis=0)  # (128, 128)
-                    if probe == 2:  # timing probe: no MXU dot
-                        return acc + (jnp.sum(L2) + jnp.sum(O2))
                     part = jax.lax.dot_general(
-                        L2.astype(hist_dtype), O2.astype(hist_dtype),
+                        L2, O2,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (64, 128): diagonal blocks are the two row-hists
@@ -550,8 +552,6 @@ def _vjp_bwd(cfg, res, g):
         n_chunks=nch,
         k_real=K,
         early_termination=early_termination,
-        hist_dtype=(jnp.bfloat16 if W.dtype == jnp.bfloat16
-                    else jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

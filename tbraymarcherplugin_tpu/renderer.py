@@ -131,6 +131,7 @@ class Renderer:
         self.light_volume = L.clear_light_volume(self.light_volume_dims())
         self.octree: Optional[O.Octree] = None
         self._frame_index = 0
+        self._warned_cpu_jitter = False
         # Caches for the fast paths (invalidated by the dirty flags below).
         self._pvol = None  # swizzled volume (pallas path)
         self._plight = None  # swizzled light volume (pallas path)
@@ -564,11 +565,23 @@ class Renderer:
                 return warp_to_screen_fused(inter, plan, width, height,
                                             channel_major=True)
             return SW.warp_to_screen(inter, plan, width, height)
-        if self.config.jitter or scene_depth is not None:
-            # the CPU shear-warp path has no jitter/depth variant; let the
-            # march (which supports both) render this frame
+        if scene_depth is not None:
+            # the CPU shear-warp path has no depth variant; let the march
+            # (which supports it) render this frame
             if allow_fallback:
                 return None
+        if self.config.jitter and self.config.march_impl != "shearwarp":
+            # auto mode: prefer the march, which implements jitter on CPU
+            if allow_fallback:
+                return None
+        elif self.config.jitter and not self._warned_cpu_jitter:
+            # explicit shear-warp request: honor the implementation choice
+            # and render unjittered rather than silently switching renderers
+            # (jitter defaults ON since round 5 — reference parity).
+            log.warning(
+                "CPU shear-warp has no jitter variant; rendering unjittered"
+            )
+            self._warned_cpu_jitter = True
         return SW.shearwarp_lit(
             self.volume, self.tf_table, self.light_volume, self._sw_plan,
             win, local_clip.center, local_clip.direction, width, height,

@@ -22,6 +22,21 @@ def make_renderer(**cfg):
     return r
 
 
+def test_explicit_shearwarp_honored_with_default_jitter():
+    """Explicit march_impl='shearwarp' must not silently fall back to the
+    march on CPU just because jitter defaults on — it renders the
+    shear-warp path unjittered (logged divergence) instead."""
+    cam = Camera.look_at([0.0, -2.5, 0.0], [0.0, 0.0, 0.0], fov_degrees=30.0)
+    r = make_renderer(jitter=True, march_impl="shearwarp")
+    r.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    img = np.asarray(r.render(cam, 16, 16))
+    r2 = make_renderer(jitter=False, march_impl="shearwarp")
+    r2.add_light("sun", DirLight.create([0.0, 0.0, -1.0], 1.0))
+    img2 = np.asarray(r2.render(cam, 16, 16))
+    # same renderer, same (unjittered) output on CPU
+    np.testing.assert_allclose(img, img2, atol=1e-6)
+
+
 def test_jitter_defaults_on():
     # Reference parity: all three materials call JitterEntryPos
     # unconditionally (`WindowedRaymarchMaterials.usf:62,127,206`).
