@@ -104,7 +104,7 @@ def main() -> int:
         kframes, reps, kbwd = (args.kframes or 4), (args.reps or 2), 2
     else:
         dims, width, height, step_count = (256, 256, 256), 1920, 1080, 150
-        kframes, reps, kbwd = (args.kframes or 32), (args.reps or 3), 8
+        kframes, reps, kbwd = (args.kframes or 64), (args.reps or 3), 8
 
     volume = jnp.asarray(synthetic.ct_like_phantom(dims, seed=0))
     params = RenderParams(
