@@ -91,12 +91,19 @@ def _band_kernel(idx_ref, rows_hbm, out_ref, band, sem, *, n_src, strip):
 
 
 def _band_adjoint_kernel(idx_ref, g_ref, out_ref, *, n_src, np128):
-    """Adjoint of the banded gather: scatter each (8, 128) cotangent tile
-    into its band as 8 one-hot (BAND, 128) @ (128, 1) MXU products, texels
-    along sublanes so the accumulation lands without relayout. The output
-    block (Np, 8) is revisited across the q grid dimension (zeroed at
-    q == 0); band starts are 128-aligned, so the dynamic sublane offset
-    stays tile-aligned."""
+    """Adjoint of the banded gather, segment/offset-factored.
+
+    The dense per-row (BAND, 128) one-hot build measured ~11-12 ms per
+    warp pass at 1080p (round-5 trace: the two adjoint kernels WERE the
+    whole warp backward). Texel t = 128*s + o factors it into a (3, 128)
+    segment one-hot and a (128, 128) offset one-hot; band starts are
+    128-aligned, so the GLOBAL segment row is just start>>7 + s. The
+    floor tap (weight 1-fr) accumulates into plane set 0, the fr tap at
+    l0+1 into plane set 1 histogrammed at l0 and shifted +1 texel by the
+    caller. Offsets live on LANES end-to-end, so neither the dot result
+    nor the accumulation needs a relayout; the (1, 8, 2*np128, 128)
+    output block is revisited across the q grid dimension (zeroed at
+    q == 0)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -108,35 +115,45 @@ def _band_adjoint_kernel(idx_ref, g_ref, out_ref, *, n_src, np128):
     start = jnp.clip(
         jnp.floor(jnp.min(idx)).astype(jnp.int32), 0, max(n_src - BAND, 0)
     )
-    start = pl.multiple_of((start // 128) * 128, 128)
+    seg0 = start // 128
+    start = pl.multiple_of(seg0 * 128, 128)
     local = jnp.clip(idx - start.astype(jnp.float32), 0.0, float(BAND - 1))
     l0 = jnp.clip(jnp.floor(local), 0.0, float(BAND - 2))
     fr = jnp.clip(local - l0, 0.0, 1.0)
     l0i = l0.astype(jnp.int32)
+    # GLOBAL segment row (start is 128-aligned): the one-hot is built over
+    # all np128 segments directly, so the accumulate below is a full-height
+    # static store — no dynamic sublane-offset slicing.
+    s_glob = seg0 + (l0i >> 7)
+    o_idx = l0i & 127
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (np128, 128), 0)
+    iota_o = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-    tex = jax.lax.broadcasted_iota(jnp.int32, (BAND, 128), 0)
     for r in range(8):
-        l0r = jnp.broadcast_to(l0i[r:r + 1, :], (BAND, 128))
-        frr = jnp.broadcast_to(fr[r:r + 1, :], (BAND, 128))
-        A = jnp.where(tex == l0r, 1.0 - frr, 0.0) + jnp.where(
-            tex == l0r + 1, frr, 0.0
-        )
-        gw = jnp.reshape(g[r:r + 1, :], (128, 1))
-        contrib = jax.lax.dot_general(
-            A, gw, dimension_numbers=(((1,), (0,)), ((), ())),
+        s_r = jnp.broadcast_to(s_glob[r:r + 1, :], (np128, 128))
+        o_r = jnp.broadcast_to(o_idx[r:r + 1, :], (128, 128))
+        S = jnp.where(iota_s == s_r, 1.0, 0.0)
+        O = jnp.where(iota_o == o_r, 1.0, 0.0)
+        ga = jnp.broadcast_to((g[r:r + 1, :] * (1.0 - fr[r:r + 1, :])),
+                              (np128, 128))
+        gb = jnp.broadcast_to((g[r:r + 1, :] * fr[r:r + 1, :]),
+                              (np128, 128))
+        L = jnp.concatenate([S * ga, S * gb], axis=0)  # (2*np128, 128)
+        part = jax.lax.dot_general(
+            L, O, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BAND, 1)
-        out_ref[0, pl.ds(start, BAND), r:r + 1] = (
-            out_ref[0, pl.ds(start, BAND), r:r + 1] + contrib
-        )
+        )  # (2*np128, 128): [set*np128 + s, o]
+        out_ref[0, r] = out_ref[0, r] + part
 
 
 def _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret, groups=1):
     """d_rows (Rp, Np) for padded inputs (see banded_row_lerp's padding)."""
     nbi = (Rp // groups) // 8 if groups > 1 else Rp // 8
+    np128 = Np // 128
     out = pl.pallas_call(
-        partial(_band_adjoint_kernel, n_src=Np, np128=Np // 128),
-        out_shape=jax.ShapeDtypeStruct((Rp // 8, Np, 8), jnp.float32),
+        partial(_band_adjoint_kernel, n_src=Np, np128=np128),
+        out_shape=jax.ShapeDtypeStruct((Rp // 8, 8, 2 * np128, 128),
+                                       jnp.float32),
         grid=(Rp // 8, Qp // 128),
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, j: (i % nbi, j),
@@ -144,11 +161,20 @@ def _banded_row_lerp_adjoint(idx_p, g_p, Rp, Qp, Np, interpret, groups=1):
             pl.BlockSpec((8, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Np, 8), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, 2 * np128, 128),
+                               lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(idx_p, g_p)
-    return jnp.transpose(out, (0, 2, 1)).reshape(Rp, Np)
+    # [set 0] floor-tap texels; [set 1] fr-tap weights histogrammed at l0,
+    # which belong one texel HIGHER (l0 <= BAND-2, so the shift never
+    # leaves the band; Np-edge overflow rolls off the end harmlessly
+    # because l0 is clipped below Np-1).
+    h0 = out[:, :, :np128, :].reshape(Rp, Np)
+    h1 = out[:, :, np128:, :].reshape(Rp, Np)
+    return h0 + jnp.concatenate(
+        [jnp.zeros((Rp, 1), h1.dtype), h1[:, :-1]], axis=1
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
