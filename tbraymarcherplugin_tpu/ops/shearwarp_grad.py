@@ -697,6 +697,26 @@ def shearwarp_intermediate_fused_diff(
     sub[plan.axes12[1]] = "b"
     spec = f"kd,{''.join(sub)}->kab"
 
+    # Pad the plane SELECTION (K -> Kp zero rows) and the affine coeffs
+    # (edge values) so the resample emits the chunk-padded streams
+    # directly — padding W/L afterwards copied two full ~0.5 GB arrays
+    # (~1.5 ms each, plus their adjoint slices). Pad planes are exactly
+    # zero (selection is linear) and the kernels mask k < k_real anyway.
+    Kpad = Kp - K
+
+    def pad_sel(m):
+        if not Kpad:
+            return m
+        return jnp.concatenate(
+            [m, jnp.zeros((Kpad, m.shape[1]), m.dtype)]
+        )
+
+    def pad_coef(x):
+        x = jnp.asarray(x, jnp.float32)
+        if not Kpad:
+            return x
+        return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (Kpad,))])
+
     Pv = _onehot_rows(plan.m_src, volume.shape[plan.axis])  # (K, D)
     if plan.mfrac is not None:
         Pv = (
@@ -705,7 +725,7 @@ def shearwarp_intermediate_fused_diff(
             * plan.mfrac[:, None]
         )
     vplanes = jnp.einsum(
-        spec, Pv, volume, preferred_element_type=jnp.float32
+        spec, pad_sel(Pv), volume, preferred_element_type=jnp.float32
     )
     LD = light_volume.shape[plan.axis]
     lm0_hi = jnp.minimum(plan.lm0 + 1, LD - 1)
@@ -714,22 +734,24 @@ def shearwarp_intermediate_fused_diff(
         + _onehot_rows(lm0_hi, LD) * plan.lmt[:, None]
     )
     lplanes = jnp.einsum(
-        spec, Sel, light_volume, preferred_element_type=jnp.float32
+        spec, pad_sel(Sel), light_volume, preferred_element_type=jnp.float32
     )
 
     W = SW._resample_block(
-        vplanes, plan.a1, plan.b1, plan.a2, plan.b2, n1, n2, compute_dtype
+        vplanes, pad_coef(plan.a1), pad_coef(plan.b1), pad_coef(plan.a2),
+        pad_coef(plan.b2), n1, n2, compute_dtype
     ).astype(compute_dtype)
     L = SW._resample_block(
-        lplanes, plan.la1, plan.lb1, plan.la2, plan.lb2, n1, n2, compute_dtype
+        lplanes, pad_coef(plan.la1), pad_coef(plan.lb1), pad_coef(plan.la2),
+        pad_coef(plan.lb2), n1, n2, compute_dtype
     ).astype(compute_dtype)
-    W = _pad_axis0(W, Kp)
-    L = _pad_axis0(L, Kp)
 
-    # non-differentiable aux (ESS occupancy + chunk bounds + geometry)
+    # non-differentiable aux (ESS occupancy + chunk bounds + geometry) —
+    # occupancy from the REAL K planes only (the zero pad planes would
+    # otherwise pull every tail-chunk interval down to 0).
     from .transfer import windowed_tf_range_occupied
 
-    vp = jax.lax.stop_gradient(vplanes)
+    vp = jax.lax.stop_gradient(vplanes)[:K]
     sl_mn = _pad_axis0(jnp.min(vp, axis=(1, 2)), Kp, value=jnp.inf)
     sl_mx = _pad_axis0(jnp.max(vp, axis=(1, 2)), Kp, value=-jnp.inf)
     occ = windowed_tf_range_occupied(
