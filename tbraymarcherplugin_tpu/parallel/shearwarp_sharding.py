@@ -143,6 +143,13 @@ def shearwarp_lit_sharded_diff(
     from ..ops.pallas_warp import warp_to_screen_fused
     from ..ops.shearwarp_grad import shearwarp_intermediate_fused_diff
 
+    # The Pallas kernels' `interpret=None` default keys off
+    # `jax.default_backend()`, which lies when the computation targets a
+    # virtual CPU mesh while a TPU plugin holds the default platform (the
+    # dryrun fallback in __graft_entry__). Resolve from the devices the
+    # mesh actually runs on.
+    interpret = all(d.platform == "cpu" for d in mesh.devices.flat)
+
     n_dev = mesh.shape[axis]
     if plan.n2 % n_dev:
         raise ValueError(
@@ -161,12 +168,13 @@ def shearwarp_lit_sharded_diff(
         inter_local = shearwarp_intermediate_fused_diff(
             volume, tf_table, light_volume, lp, win, cc, cd,
             early_termination=early_termination,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, interpret=interpret,
         )  # (n1, n2_local, 4)
         inter = jax.lax.all_gather(
             inter_local, axis, axis=1, tiled=True
         )  # (n1, n2, 4)
-        img = warp_to_screen_fused(inter, plan, width, height)
+        img = warp_to_screen_fused(inter, plan, width, height,
+                                   interpret=interpret)
         return jnp.pad(img, ((0, h_pad - height), (0, 0), (0, 0)))
 
     if target is None:
