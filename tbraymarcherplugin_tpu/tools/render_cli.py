@@ -169,11 +169,19 @@ def main(argv=None) -> int:
     renderer.add_light("main", DirLight.create(light_dir, args.light_intensity))
 
     background = [float(v) for v in args.background.split(",")]
+    # --distance is documented in CUBE units: with real metadata the
+    # renderer scales the proxy cube to world dimensions (mm -> cm,
+    # `RaymarchVolume.cpp:547`), so an absolute 2.2 would sit INSIDE any
+    # volume wider than ~4 world units and render a black interior frame.
+    # Multiply by the cube's world size (1.0 for bare arrays — behavior
+    # there is unchanged).
+    world_size = float(np.max(np.asarray(renderer.transform.scale)))
+    cam_distance = args.distance * world_size
     n = max(1, args.frames)
     base, ext = os.path.splitext(args.output)
     for i in range(n):
         az = args.orbit + (360.0 * i / n if n > 1 else 0.0)
-        cam = _orbit_camera(az, args.elevation, args.distance, args.fov)
+        cam = _orbit_camera(az, args.elevation, cam_distance, args.fov)
         frame = np.asarray(renderer.render(cam, w, h))
         path = args.output if n == 1 else f"{base}{i:03d}{ext}"
         _write_png(path, frame, background)

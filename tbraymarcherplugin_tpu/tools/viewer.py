@@ -331,7 +331,11 @@ class ViewerState:
 
         from .render_cli import _orbit_camera
 
-        cam = _orbit_camera(az, el, dist, fov=40.0)
+        # dist is in cube units; scale by the proxy cube's world size so
+        # real-metadata volumes (world-unit transforms) stay in frame
+        # (same contract as render_cli --distance).
+        world_size = float(np.max(np.asarray(self.renderer.transform.scale)))
+        cam = _orbit_camera(az, el, dist * world_size, fov=40.0)
         rgba = np.asarray(
             self.renderer.render(cam, self.image_size, self.image_size)
         )

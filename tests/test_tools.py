@@ -76,6 +76,41 @@ def test_render_cli_unknown_tf_errors(mhd_volume, tmp_path):
         render_cli.main([mhd_volume, str(tmp_path / "x.png"), "--tf", "nope"])
 
 
+def test_render_cli_world_scaled_volume_stays_in_frame(tmp_path):
+    """--distance is in cube units: a volume whose metadata gives it a
+    large world transform (e.g. 64 voxels at 1 mm spacing -> 6.4 world
+    units after the reference's mm->cm scaling) must still be rendered
+    from OUTSIDE — the absolute-distance bug put the camera inside the
+    proxy cube and every default render of a real CT was a black
+    interior frame."""
+    dims = (64, 64, 64)
+    x, y, z = np.meshgrid(*[np.linspace(-1, 1, n) for n in dims],
+                          indexing="ij")
+    v = ((x**2 + y**2 + z**2) < 0.36).astype(np.uint8) * 200
+    (tmp_path / "big.raw").write_bytes(v.tobytes())
+    (tmp_path / "big.mhd").write_text(
+        "ObjectType = Image\nNDims = 3\nDimSize = 64 64 64\n"
+        "ElementSpacing = 1 1 1\nElementType = MET_UCHAR\n"
+        "ElementDataFile = big.raw\n"
+    )
+    out = tmp_path / "big.png"
+    rc = render_cli.main([
+        str(tmp_path / "big.mhd"), str(out), "--size", "48x48",
+        "--steps", "24", "--march-impl", "blocked",
+        "--background", "1,1,1",
+    ])
+    assert rc == 0
+    import matplotlib.image as mpimg
+
+    img = np.asarray(mpimg.imread(str(out)))[..., :3]
+    # Camera outside: corner rays MISS the proxy cube and show the white
+    # background; rays through the volume composite its (dark, opaque
+    # default-TF) silhouette. Inside the volume, every ray was opaque ->
+    # a uniform frame with no background anywhere.
+    assert img.max() > 0.9, "no background visible - camera inside volume"
+    assert img.min() < 0.5, "volume silhouette missing"
+
+
 @pytest.fixture(scope="module")
 def viewer_state():
     s = ViewerState(volume_path=None, image_size=32,
